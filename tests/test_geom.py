@@ -53,8 +53,8 @@ def test_log_near_pi():
 
 def test_exp_matches_scipy():
     from scipy.spatial.transform import Rotation
-    w = rand_w(2.0)
-    assert np.allclose(so3.exp(w), Rotation.from_rotvec(np.asarray(w)).as_matrix())
+    w = np.array(rand_w(2.0))  # writable copy — scipy rejects read-only buffers
+    assert np.allclose(so3.exp(jnp.asarray(w)), Rotation.from_rotvec(w).as_matrix())
 
 
 def test_project_restores_orthogonality():
