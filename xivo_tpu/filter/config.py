@@ -1,0 +1,326 @@
+"""Filter configuration.
+
+Parses the reference's JSON config surface (fully enumerated in
+``cfg/tumvi_cam0.json`` / ``cfg/pcw.json``; parsed by the Estimator ctor,
+``src/estimator.cpp:100-417``) into a frozen dataclass. Everything that
+was a compile-time flag in the reference (USE_ONLINE_*_CALIB,
+EKF_MAX_FEATURES/GROUPS, ...) is a runtime field here; array-shaping
+fields live in ``Dims`` and specialize the jitted program.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .layout import Dims
+
+
+def load_json_with_comments(path: str) -> dict:
+    """The reference's configs contain // comments (jsoncpp extension)."""
+    with open(path) as f:
+        text = f.read()
+    text = re.sub(r"//[^\n]*", "", text)
+    text = re.sub(r"/\*.*?\*/", "", text, flags=re.S)
+    return json.loads(text)
+
+
+@dataclasses.dataclass(frozen=True)
+class SubfilterOptions:
+    Rtri: float = 3.5 ** 2
+    MH_thresh: float = 5.991
+    ready_steps: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class TriangulateOptions:
+    method: str = "l1_angular"
+    zmin: float = 0.05
+    zmax: float = 5.0
+    max_theta_thresh: float = 0.1 * np.pi / 180
+    beta_thresh: float = 0.25 * np.pi / 180
+
+
+@dataclasses.dataclass(frozen=True)
+class RefinementOptions:
+    two_view: bool = False
+    use_hessian: bool = False
+    max_iters: int = 5
+    eps: float = 1e-4
+    damping: float = 1e-3
+    max_res_norm: float = 2.0
+    Rtri: float = 3.5 ** 2
+
+
+@dataclasses.dataclass(frozen=True)
+class VIOConfig:
+    dims: Dims = Dims()
+    dtype: str = "float32"
+
+    # integration (src/estimator.cpp:579-588, src/princedormand.cpp)
+    integration_method: str = "PrinceDormand"
+    stepsize: float = 0.002
+    max_substeps: int = 10           # static bound on substeps per IMU sample
+
+    # calibration enables (compile flags in the reference)
+    online_temporal_calib: bool = False
+    online_imu_calib: bool = False
+    online_camera_calib: bool = False
+
+    # outlier rejection (src/estimator.cpp:372-390)
+    use_MH_gating: bool = True
+    min_inliers: int = 5
+    MH_thresh: float = 5.991
+    MH_adjust_factor: float = 1.1
+    mh_relax_rounds: int = 20        # static bound on threshold-relaxation loop
+    use_1pt_RANSAC: bool = False
+    ransac_thresh: float = 5.0
+    ransac_prob: float = 0.95
+    ransac_Chi2: float = 5.89
+    ransac_hyps: int = 32            # static hypothesis count (vmapped)
+
+    # subfilter / triangulation / refinement
+    subfilter: SubfilterOptions = SubfilterOptions()
+    triangulation: TriangulateOptions = TriangulateOptions()
+    refinement: RefinementOptions = RefinementOptions()
+    triangulate_pre_subfilter: bool = False
+    use_depth_opt: bool = False
+    remove_outlier_counter: float = 10.0
+
+    # admission (src/options.cpp, src/manager.cpp:332-566)
+    strict_criteria_timesteps: int = 5
+    num_gauge_xy_features: int = 3
+    collinear_cross_prod_thresh: float = 1e-3
+    group_degrees_fixed: int = 4
+
+    # lifetime management
+    max_group_lifetime: int = 1
+    feature_owner_change_cov_factor: float = 1.5
+
+    # depth init (src/estimator.cpp:345-361)
+    init_z: float = 2.5
+    init_std_x: float = 1.0          # pixels (divided by focal length at build)
+    init_std_y: float = 1.0
+    init_std_z: float = 0.5
+    init_std_x_badtri: float = 1.0
+    init_std_y_badtri: float = 1.0
+    init_std_z_badtri: float = 0.5
+    min_z: float = 0.05
+    max_z: float = 5.0
+    adaptive_depth_beta: float = 0.99
+    adaptive_depth_min_lifetime: int = 5
+
+    # measurement noise
+    visual_meas_std: float = 1.0
+    oos_meas_std: float = 3.5
+    lc_meas_std: float = 4.0
+
+    # OOS / MSCKF (gated off in the reference; first-class here)
+    use_OOS: bool = False
+    OOS_min_observations: int = 5
+
+    # IMU clamp
+    clamp_signals: bool = False
+    max_accel: Tuple[float, float, float] = (20.0, 20.0, 20.0)
+    max_gyro: Tuple[float, float, float] = (10.0, 10.0, 10.0)
+
+    gravity: Tuple[float, float, float] = (0.0, 0.0, -9.8)
+    gravity_init_counter: int = 20
+    imu_tk_convention: bool = False
+    simulation: bool = False
+
+    # initial nominal state & uncertainties (as std-devs; squared on build)
+    X_Wsb: Tuple = (0.0, 0.0, 0.0)
+    X_Tsb: Tuple = (0.0, 0.0, 0.0)
+    X_Vsb: Tuple = (0.0, 0.0, 0.0)
+    X_bg: Tuple = (0.0, 0.0, 0.0)
+    X_ba: Tuple = (0.0, 0.0, 0.0)
+    X_Wbc: Tuple = (0.0, 0.0, 0.0)
+    X_Tbc: Tuple = (0.0, 0.0, 0.0)
+    X_Wsg: Tuple = (0.0, 0.0)
+    X_td: float = 0.0
+    Cg: Tuple = tuple(np.eye(3).ravel())
+    Ca: Tuple = tuple(np.eye(3).ravel())
+
+    P_Wsb: float = 0.0001
+    P_Tsb: float = 0.0001
+    P_Vsb: float = 1.0
+    P_bg: float = 1e-4
+    P_ba: float = 1e-3
+    P_Wbc: float = 0.0001
+    P_Tbc: Tuple[float, float, float] = (0.0001, 0.0001, 0.0001)
+    P_Wsg: float = 0.01
+    P_td: float = 0.0
+    P_Cg: float = 0.0
+    P_Ca: float = 0.0
+    P_FC: Tuple[float, float] = (0.0, 0.0)
+    P_distortion: float = 0.0
+
+    Qmodel_Wsb: float = 0.0
+    Qmodel_Wbc: float = 0.0
+    Qmodel_Wsg: float = 0.0
+
+    Qimu_gyro: Tuple[float, float, float] = (1e-3,) * 3
+    Qimu_accel: Tuple[float, float, float] = (1e-2,) * 3
+    Qimu_gyro_bias: Tuple[float, float, float] = (1e-4,) * 3
+    Qimu_accel_bias: Tuple[float, float, float] = (1e-5,) * 3
+
+    # camera
+    cam_model: str = "pinhole"
+    cam_params: Tuple = (480, 640, 275.0, 275.0, 320.0, 240.0)  # rows, cols, fx, fy, cx, cy [, ...]
+
+    # tracker
+    max_pixel_displacement: float = 64.0
+    num_features_min: int = 120
+    num_features_max: int = 200
+
+    @property
+    def R(self):
+        return self.visual_meas_std ** 2
+
+    @property
+    def Rlc(self):
+        return self.lc_meas_std ** 2
+
+
+def _vec(j, key, default=None):
+    v = j.get(key, default)
+    return tuple(v) if isinstance(v, (list, tuple)) else v
+
+
+def config_from_json(cfg: dict, dims: Optional[Dims] = None,
+                     **overrides) -> VIOConfig:
+    """Build a VIOConfig from a reference-format JSON dict.
+
+    Field mapping mirrors the Estimator ctor (src/estimator.cpp:100-417).
+    """
+    X = cfg.get("X", {})
+    P = cfg.get("P", {})
+    Qm = cfg.get("Qmodel", {})
+    Qi = cfg.get("Qimu", {})
+    sub = cfg.get("subfilter", {})
+    tri = cfg.get("triangulation", {})
+    dop = cfg.get("depth_opt", {})
+    adi = cfg.get("adaptive_initial_depth", {})
+    cam = cfg.get("camera_cfg", {})
+    imu_calib = cfg.get("imu_calib", {})
+
+    def q3(key, default):
+        v = Qi.get(key, default)
+        if not isinstance(v, (list, tuple)):
+            v = [v] * 3
+        return tuple(v)
+
+    Ca = np.asarray(imu_calib.get("Car", np.eye(3).tolist()), dtype=np.float64)
+    Ca = Ca @ np.diag(imu_calib.get("Cas", [1.0, 1.0, 1.0]))
+    Cg = np.asarray(imu_calib.get("Cgr", np.eye(3).tolist()), dtype=np.float64)
+    Cg = Cg @ np.diag(imu_calib.get("Cgs", [1.0, 1.0, 1.0]))
+
+    cam_extra = []
+    model = cam.get("model", "pinhole").lower()
+    if model == "radtan":
+        cam_extra = [cam.get("p1", 0.0), cam.get("p2", 0.0), cam.get("k1", 0.0),
+                     cam.get("k2", 0.0), cam.get("k3", 0.0)]
+    elif model in ("equi", "equidistant"):
+        cam_extra = [cam.get(k, 0.0) for k in ("k0", "k1", "k2", "k3")]
+    elif model == "atan":
+        cam_extra = [cam.get("w", 0.0)]
+
+    Tbc_std = P.get("Tbc", 0.0001)
+    if not isinstance(Tbc_std, (list, tuple)):
+        Tbc_std = (Tbc_std,) * 3
+
+    kw = dict(
+        dims=dims or Dims(),
+        integration_method=cfg.get("integration_method", "PrinceDormand"),
+        stepsize=cfg.get("PrinceDormand", {}).get(
+            "stepsize", cfg.get("RK4", {}).get("stepsize", 0.002)),
+        use_MH_gating=cfg.get("use_MH_gating", True),
+        min_inliers=cfg.get("min_inliers", 5),
+        MH_thresh=cfg.get("MH_thresh", 5.991),
+        MH_adjust_factor=cfg.get("MH_adjust_factor", 1.1),
+        use_1pt_RANSAC=cfg.get("use_1pt_RANSAC", False),
+        ransac_thresh=cfg.get("1pt_RANSAC_thresh", 5.0),
+        ransac_prob=cfg.get("1pt_RANSAC_prob", 0.95),
+        ransac_Chi2=cfg.get("1pt_RANSAC_Chi2", 5.89),
+        subfilter=SubfilterOptions(
+            Rtri=sub.get("visual_meas_std", 3.5) ** 2,
+            MH_thresh=sub.get("MH_thresh", 5.991),
+            ready_steps=sub.get("ready_steps", 5)),
+        triangulation=TriangulateOptions(
+            method=tri.get("method", "l1_angular"),
+            zmin=tri.get("zmin", 0.05), zmax=tri.get("zmax", 5.0),
+            max_theta_thresh=tri.get("max_theta_thresh", 0.1) * np.pi / 180,
+            beta_thresh=tri.get("beta_thesh", 0.25) * np.pi / 180),
+        refinement=RefinementOptions(
+            two_view=dop.get("two_view", False),
+            use_hessian=dop.get("use_hessian", False),
+            max_iters=dop.get("max_iters", 5), eps=dop.get("eps", 1e-4),
+            damping=dop.get("damping", 1e-3),
+            max_res_norm=dop.get("max_res_norm", 2.0),
+            Rtri=sub.get("visual_meas_std", 3.5) ** 2),
+        triangulate_pre_subfilter=cfg.get("triangulate_pre_subfilter", False),
+        use_depth_opt=cfg.get("use_depth_opt", False),
+        remove_outlier_counter=cfg.get("remove_outlier_counter", 10),
+        strict_criteria_timesteps=cfg.get("strict_criteria_timesteps", 5),
+        num_gauge_xy_features=cfg.get("num_gauge_xy_features", 3),
+        collinear_cross_prod_thresh=cfg.get("collinear_cross_prod_thresh", 1e-3),
+        group_degrees_fixed=cfg.get("group_degrees_fixed", 4),
+        max_group_lifetime=cfg.get("max_group_lifetime", 1),
+        feature_owner_change_cov_factor=cfg.get(
+            "filter_owner_change_cov_factor", 1.5),
+        init_z=cfg.get("initial_z", 2.5),
+        init_std_x=cfg.get("initial_std_x", 1.0),
+        init_std_y=cfg.get("initial_std_y", 1.0),
+        init_std_z=cfg.get("initial_std_z", 0.5),
+        init_std_x_badtri=cfg.get("initial_std_x_badtri", 1.0),
+        init_std_y_badtri=cfg.get("initial_std_y_badtri", 1.0),
+        init_std_z_badtri=cfg.get("initial_std_z_badtri", 0.5),
+        min_z=cfg.get("min_depth", 0.05),
+        max_z=cfg.get("max_depth", 5.0),
+        adaptive_depth_beta=adi.get("median_weight", 0.99),
+        adaptive_depth_min_lifetime=adi.get("minimum_feature_lifetime", 5),
+        visual_meas_std=cfg.get("visual_meas_std", 1.0),
+        oos_meas_std=cfg.get("oos_meas_std", 3.5),
+        lc_meas_std=cfg.get("loop_closure_meas_std", 4.0),
+        use_OOS=cfg.get("use_OOS", False),
+        OOS_min_observations=cfg.get("OOS_update_min_observations", 5),
+        clamp_signals=cfg.get("clamp_signals", False),
+        max_accel=_vec(cfg, "max_accel", (20.0,) * 3),
+        max_gyro=_vec(cfg, "max_gyro", (10.0,) * 3),
+        gravity=_vec(cfg, "gravity", (0.0, 0.0, -9.8)),
+        gravity_init_counter=cfg.get("gravity_init_counter", 20),
+        imu_tk_convention=cfg.get("imu_tk_convention", False),
+        simulation=cfg.get("simulation", False),
+        X_Wsb=_vec(X, "Wsb", (0.0,) * 3), X_Tsb=_vec(X, "Tsb", (0.0,) * 3),
+        X_Vsb=_vec(X, "Vsb", (0.0,) * 3), X_bg=_vec(X, "bg", (0.0,) * 3),
+        X_ba=_vec(X, "ba", (0.0,) * 3), X_Wbc=_vec(X, "Wbc", (0.0,) * 3),
+        X_Tbc=_vec(X, "Tbc", (0.0,) * 3),
+        X_Wsg=tuple(X.get("Wsg", (0.0, 0.0))[:2]),
+        X_td=X.get("td", 0.0),
+        Cg=tuple(Cg.ravel()), Ca=tuple(Ca.ravel()),
+        P_Wsb=P.get("Wsb", 0.0001), P_Tsb=P.get("Tsb", 0.0001),
+        P_Vsb=P.get("Vsb", 1.0), P_bg=P.get("bg", 1e-4),
+        P_ba=P.get("ba", 1e-3), P_Wbc=P.get("Wbc", 0.0001),
+        P_Tbc=tuple(Tbc_std), P_Wsg=P.get("Wsg", 0.01),
+        P_td=P.get("td", 0.0), P_Cg=P.get("Cg", 0.0), P_Ca=P.get("Ca", 0.0),
+        Qmodel_Wsb=Qm.get("Wsb", 0.0), Qmodel_Wbc=Qm.get("Wbc", 0.0),
+        Qmodel_Wsg=Qm.get("Wsg", 0.0),
+        Qimu_gyro=q3("gyro", 1e-3), Qimu_accel=q3("accel", 1e-2),
+        Qimu_gyro_bias=q3("gyro_bias", 1e-4),
+        Qimu_accel_bias=q3("accel_bias", 1e-5),
+        cam_model=model,
+        cam_params=tuple([cam.get("rows", 480), cam.get("cols", 640),
+                          cam.get("fx", 275.0), cam.get("fy", 275.0),
+                          cam.get("cx", 320.0), cam.get("cy", 240.0)]
+                         + cam_extra),
+        max_pixel_displacement=cfg.get("tracker_cfg", {}).get(
+            "max_pixel_displacement", 64.0),
+        num_features_min=cfg.get("tracker_cfg", {}).get("num_features_min", 120),
+        num_features_max=cfg.get("tracker_cfg", {}).get("num_features_max", 200),
+    )
+    kw.update(overrides)
+    return VIOConfig(**kw)

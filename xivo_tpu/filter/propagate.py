@@ -1,0 +1,291 @@
+"""IMU propagation: nominal state + covariance integration.
+
+Re-derivation of the reference's joint X/F/P integrators
+(``src/rk4.cpp``, ``src/princedormand.cpp``) as pure JAX functions.
+Design notes:
+
+* The motion Jacobian F (39x39) and noise Jacobian G (39x12) are built
+  as dense small matrices — at this size XLA keeps everything in
+  registers/VMEM and fuses the stage algebra into a handful of ops.
+* Substepping (fixed h with the reference's half-step trick,
+  ``src/princedormand.cpp:60-81``) runs as a ``lax.while_loop``; the
+  per-frame IMU batch runs as a ``lax.scan`` so the whole propagation
+  between two camera frames is one compiled region.
+* Covariance handling matches the reference exactly: the motion block
+  integrates dP = F P + P F^T + G Qimu G^T through the stages; the
+  motion/structure cross block is multiplied by the step transition
+  F_total = I + FK*dt after each substep (``src/princedormand.cpp:206-215``).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geom import so3
+from . import layout as L
+from .config import VIOConfig
+from .state import MotionState, VIOState
+
+
+def compose_motion(X: MotionState, V, gyro, accel, dt, g) -> MotionState:
+    """Integrate the nominal state by dt (ref src/estimator.cpp:597-614)."""
+    gyro_calib = X.Cg @ gyro - X.bg
+    accel_calib = X.Ca @ accel - X.ba
+    Tsb = X.Tsb + V * dt
+    Vsb = X.Vsb + (X.Rsb @ accel_calib + X.Rsg @ g) * dt
+    Rsb = X.Rsb @ so3.exp(gyro_calib * dt)
+    Rsb = so3.project(Rsb)
+    return X._replace(Rsb=Rsb, Tsb=Tsb, Vsb=Vsb)
+
+
+def motion_jacobians(X: MotionState, gyro, accel, g, dtype):
+    """F (39x39), G (39x12) at the given state/input.
+
+    Ref: Estimator::ComputeMotionJacobianAt (src/estimator.cpp:616-704).
+    """
+    gyro_calib = X.Cg @ gyro - X.bg
+    accel_calib = X.Ca @ accel - X.ba
+    Rsb = X.Rsb
+
+    F = jnp.zeros((L.MOTION, L.MOTION), dtype)
+    # dW/dW = -hat(gyro_calib); dW/dbg = -I
+    F = F.at[L.WSB:L.WSB + 3, L.WSB:L.WSB + 3].set(-so3.hat(gyro_calib))
+    F = F.at[L.WSB:L.WSB + 3, L.BG:L.BG + 3].set(-jnp.eye(3, dtype=dtype))
+    # dT/dV = I
+    F = F.at[L.TSB:L.TSB + 3, L.VSB:L.VSB + 3].set(jnp.eye(3, dtype=dtype))
+    # dV/dW = -R hat(accel_calib); dV/dba = -R
+    F = F.at[L.VSB:L.VSB + 3, L.WSB:L.WSB + 3].set(-Rsb @ so3.hat(accel_calib))
+    F = F.at[L.VSB:L.VSB + 3, L.BA:L.BA + 3].set(-Rsb)
+    # dV/dWsg, 2 effective columns. With the right-multiplicative Rsg
+    # retraction (src/core.h:149) the exact Jacobian of Rsg*g w.r.t. the
+    # Wsg tangent is -Rsg hat(g); the reference writes -Rsb hat(g)
+    # (src/estimator.cpp:648) which coincides to first order near init —
+    # we use the exact form.
+    dV_dWsg = -X.Rsg @ so3.hat(g)
+    F = F.at[L.VSB:L.VSB + 3, L.WSG:L.WSG + 2].set(dV_dWsg[:, :2])
+    # dW/dCg: row i gets `gyro` at columns 3i..3i+2 (raw measurement!)
+    for i in range(3):
+        F = F.at[L.WSB + i, L.CG + 3 * i:L.CG + 3 * i + 3].set(gyro)
+    # dV/dCa = dAB_dA(accel) @ dAB_dB(Rsb) @ dA_dAu
+    dV_dRCa = so3.dAB_dA(accel[:, None], 3, 3)          # (3, 9)
+    dRCa_dCafm = so3.dAB_dB(Rsb, 3, 3)                  # (9, 9)
+    dV_dCa = dV_dRCa @ dRCa_dCafm @ so3.dA_dAu(dtype)   # (3, 6)
+    F = F.at[L.VSB:L.VSB + 3, L.CA:L.CA + 6].set(dV_dCa)
+
+    G = jnp.zeros((L.MOTION, 12), dtype)
+    G = G.at[L.WSB:L.WSB + 3, 0:3].set(-jnp.eye(3, dtype=dtype))
+    G = G.at[L.VSB:L.VSB + 3, 3:6].set(-Rsb)
+    G = G.at[L.BG:L.BG + 3, 6:9].set(jnp.eye(3, dtype=dtype))
+    G = G.at[L.BA:L.BA + 3, 9:12].set(jnp.eye(3, dtype=dtype))
+    return F, G
+
+
+class _Carry(NamedTuple):
+    X: MotionState
+    Pmm: jnp.ndarray    # (39,39) motion covariance block
+    Pms: jnp.ndarray    # (39, D-39) motion-structure cross covariance
+    total: jnp.ndarray  # () time integrated so far within this sample
+    gyro: jnp.ndarray
+    accel: jnp.ndarray
+
+
+def _stage_P(F, G, P0, Qimu):
+    return F @ P0 + P0 @ F.T + G @ Qimu @ G.T
+
+
+def _rk4_substep(X, Pmm, gyro0, accel0, sg, sa, h, g, Qimu, dtype):
+    """One RK4 substep; returns (X', Pmm', Ftot). Ref src/rk4.cpp:35-103."""
+    half = 0.5 * h
+
+    def jac(Xs, gy, ac):
+        return motion_jacobians(Xs, gy, ac, g, dtype)
+
+    K1 = X.Vsb
+    F1, G1 = jac(X, gyro0, accel0)
+    PK1 = _stage_P(F1, G1, Pmm, Qimu)
+
+    gy, ac = gyro0 + sg * half, accel0 + sa * half
+    X2 = compose_motion(X, 0.5 * K1, gy, ac, half, g)
+    K2 = X2.Vsb
+    F2, G2 = jac(X2, gy, ac)
+    FK2 = F2 + F2 @ F1 * half
+    PK2 = _stage_P(F2, G2, Pmm + half * PK1, Qimu)
+
+    X3 = compose_motion(X, 0.5 * K2, gy, ac, half, g)
+    K3 = X3.Vsb
+    F3, G3 = jac(X3, gy, ac)
+    FK3 = F3 + F3 @ FK2 * half
+    PK3 = _stage_P(F3, G3, Pmm + half * PK2, Qimu)
+
+    gy, ac = gyro0 + sg * h, accel0 + sa * h
+    X4 = compose_motion(X, K3, gy, ac, h, g)
+    K4 = X4.Vsb
+    F4, G4 = jac(X4, gy, ac)
+    FK4 = F4 + F4 @ FK3 * h
+    PK4 = _stage_P(F4, G4, Pmm + h * PK3, Qimu)
+
+    Ktot = (K1 + 2.0 * (K2 + K3) + K4) / 6.0
+    FK = (F1 + 2.0 * (FK2 + FK3) + FK4) / 6.0
+    PK = (PK1 + 2.0 * (PK2 + PK3) + PK4) / 6.0
+
+    Xn = compose_motion(X, Ktot, gy, ac, h, g)
+    Ftot = jnp.eye(L.MOTION, dtype=dtype) + FK * h
+    return Xn, Pmm + PK * h, Ftot
+
+
+_PD_COEFS = dict(
+    r_9=1.0 / 9.0, r_2_9=2.0 / 9.0, r_12=1.0 / 12.0, r_324=1.0 / 324.0,
+    r_330=1.0 / 330.0, r_28=1.0 / 28.0, r_400=1.0 / 400.0)
+
+
+def _pd_substep(X, Pmm, gyro0, accel0, sg, sa, h, g, Qimu, dtype):
+    """One Prince-Dormand 4(5) substep (7 stages).
+
+    Port of the tableau in src/princedormand.cpp:85-221 (same stage
+    weights, same joint F/P combination scheme).
+    """
+    c = _PD_COEFS
+
+    def jac(Xs, gy, ac):
+        return motion_jacobians(Xs, gy, ac, g, dtype)
+
+    def stage(V_comb, FK_comb, PK_comb, frac):
+        step = frac * h
+        gy, ac = gyro0 + sg * step, accel0 + sa * step
+        Xs = compose_motion(X, V_comb, gy, ac, step, g)
+        Fs, Gs = jac(Xs, gy, ac)
+        K = Xs.Vsb
+        FK = Fs + Fs @ FK_comb * h
+        PK = _stage_P(Fs, Gs, Pmm + PK_comb * h, Qimu)
+        return K, FK, PK
+
+    K1 = X.Vsb
+    F1, G1 = jac(X, gyro0, accel0)
+    FK1 = F1
+    PK1 = _stage_P(F1, G1, Pmm, Qimu)
+
+    K2, FK2, PK2 = stage(c["r_2_9"] * K1, c["r_2_9"] * FK1,
+                         c["r_2_9"] * PK1, c["r_2_9"])
+    K3, FK3, PK3 = stage(c["r_12"] * (K1 + 3 * K2),
+                         c["r_12"] * (FK1 + 3 * FK2),
+                         c["r_12"] * (PK1 + 3 * PK2), 3 * c["r_9"])
+    K4, FK4, PK4 = stage(c["r_324"] * (55 * K1 - 75 * K2 + 200 * K3),
+                         c["r_324"] * (55 * FK1 - 75 * FK2 + 200 * FK3),
+                         c["r_324"] * (55 * PK1 - 75 * PK2 + 200 * PK3),
+                         5 * c["r_9"])
+    K5, FK5, PK5 = stage(
+        c["r_330"] * (83 * K1 - 195 * K2 + 305 * K3 + 27 * K4),
+        c["r_330"] * (83 * FK1 - 195 * FK2 + 305 * FK3 + 27 * FK4),
+        c["r_330"] * (83 * PK1 - 195 * PK2 + 305 * PK3 + 27 * PK4),
+        6 * c["r_9"])
+    K6, FK6, PK6 = stage(
+        c["r_28"] * (-19 * K1 + 63 * K2 + 4 * K3 - 108 * K4 + 88 * K5),
+        c["r_28"] * (-19 * FK1 + 63 * FK2 + 4 * FK3 - 108 * FK4 + 88 * FK5),
+        c["r_28"] * (-19 * PK1 + 63 * PK2 + 4 * PK3 - 108 * PK4 + 88 * PK5),
+        1.0)
+    K7, FK7, PK7 = stage(
+        c["r_400"] * (38 * K1 + 240 * K3 - 243 * K4 + 330 * K5 + 35 * K6),
+        c["r_400"] * (38 * FK1 + 240 * FK3 - 243 * FK4 + 330 * FK5 + 35 * FK6),
+        c["r_400"] * (38 * PK1 + 240 * PK3 - 243 * PK4 + 330 * PK5 + 35 * PK6),
+        1.0)
+
+    K = (0.0862 * K1 + 0.6660 * K3 - 0.7857 * K4 + 0.9570 * K5
+         + 0.0965 * K6 - 0.0200 * K7)
+    FK = (0.0862 * FK1 + 0.6660 * FK3 - 0.7857 * FK4 + 0.9570 * FK5
+          + 0.0965 * FK6 - 0.0200 * FK7)
+    PK = (0.0862 * PK1 + 0.6660 * PK3 - 0.7857 * PK4 + 0.9570 * PK5
+          + 0.0965 * PK6 - 0.0200 * PK7)
+
+    gy, ac = gyro0 + sg * h, accel0 + sa * h
+    Xn = compose_motion(X, K, gy, ac, h, g)
+    Ftot = jnp.eye(L.MOTION, dtype=dtype) + FK * h
+    return Xn, Pmm + PK * h, Ftot
+
+
+def propagate_interval(cfg: VIOConfig, X: MotionState, Pmm, Pms,
+                       gyro0, accel0, sg, sa, dt):
+    """Integrate over one inter-measurement interval of length dt.
+
+    Substep policy matches src/princedormand.cpp:60-81: fixed h0 with the
+    half-step trick, IMU inputs linearly interpolated with slopes (sg, sa).
+    Returns (X', Pmm', Pms').
+    """
+    dtype = Pmm.dtype
+    g = jnp.asarray(cfg.gravity, dtype)
+    Qimu = jnp.asarray(
+        (list(cfg.Qimu_gyro) + list(cfg.Qimu_accel)
+         + list(cfg.Qimu_gyro_bias) + list(cfg.Qimu_accel_bias)), dtype)
+    Qimu = jnp.diag(Qimu ** 2)
+    h0 = cfg.stepsize
+    substep = _pd_substep if cfg.integration_method == "PrinceDormand" \
+        else _rk4_substep
+
+    def cond(carry):
+        return carry.total < dt
+
+    def body(carry):
+        rem = dt - carry.total
+        h = jnp.minimum(h0, rem)
+        # half-step trick: if one-and-a-half steps would overshoot, halve
+        h = jnp.where((rem > h0) & (rem < 1.5 * h0), 0.5 * h0, h)
+        Xn, Pmm_n, Ftot = substep(carry.X, carry.Pmm, carry.gyro,
+                                  carry.accel, sg, sa, h, g, Qimu, dtype)
+        Pms_n = Ftot @ carry.Pms
+        return _Carry(Xn, Pmm_n, Pms_n, carry.total + h,
+                      carry.gyro + sg * h, carry.accel + sa * h)
+
+    init = _Carry(X, Pmm, Pms, jnp.zeros((), dtype), gyro0, accel0)
+    out = jax.lax.while_loop(cond, body, init)
+    return out.X, out.Pmm, out.Pms
+
+
+def propagate_state(cfg: VIOConfig, s: VIOState, dt, is_visual: bool):
+    """Full-state propagation for one measurement interval.
+
+    Mirrors Estimator::Propagate (src/estimator.cpp:539-592): on an IMU
+    sample the slopes have already been refreshed by the caller; on a
+    visual measurement the last IMU inputs are extrapolated with the
+    stored slopes. Adds Qmodel to the motion block afterwards.
+    """
+    dtype = s.P.dtype
+    m = L.MOTION
+    Pmm = s.P[:m, :m]
+    Pms = s.P[:m, m:]
+    X, Pmm, Pms = propagate_interval(
+        cfg, s.X, Pmm, Pms, s.last_gyro, s.last_accel,
+        s.slope_gyro, s.slope_accel, dt)
+
+    # Qmodel: extra process noise on Wsb/Wbc/Wsg (src/estimator.cpp:590)
+    qm = jnp.zeros((m,), dtype)
+    qm = qm.at[L.WSB:L.WSB + 3].set(cfg.Qmodel_Wsb ** 2)
+    qm = qm.at[L.WBC:L.WBC + 3].set(cfg.Qmodel_Wbc ** 2)
+    qm = qm.at[L.WSG:L.WSG + 2].set(cfg.Qmodel_Wsg ** 2)
+    Pmm = Pmm + jnp.diag(qm)
+
+    P = s.P.at[:m, :m].set(Pmm)
+    P = P.at[:m, m:].set(Pms)
+    P = P.at[m:, :m].set(Pms.T)
+
+    last_gyro = s.last_gyro + s.slope_gyro * dt
+    last_accel = s.last_accel + s.slope_accel * dt
+    return s._replace(X=X, P=P, last_gyro=last_gyro, last_accel=last_accel)
+
+
+def imu_sample_update(cfg: VIOConfig, s: VIOState, gyro, accel, dt):
+    """Process one IMU sample arriving dt after the previous measurement.
+
+    Updates the interpolation slopes then propagates (the reference's
+    InertialMeasInternal -> Propagate(false) path,
+    src/estimator.cpp:523-577). dt == 0 is a no-op (masked padding).
+    """
+    def do(s):
+        safe_dt = jnp.maximum(dt, 1e-12)
+        sg = (gyro - s.last_gyro) / safe_dt
+        sa = (accel - s.last_accel) / safe_dt
+        s = s._replace(slope_gyro=sg.astype(s.P.dtype),
+                       slope_accel=sa.astype(s.P.dtype))
+        return propagate_state(cfg, s, dt, is_visual=False)
+
+    return jax.lax.cond(dt > 0, do, lambda s: s, s)
