@@ -1,0 +1,264 @@
+"""Per-feature geometry: parametrization, prediction, subfilter, Jacobians.
+
+All functions operate on ONE feature and are ``vmap``-ed over the track
+table by the caller — the TPU replacement for the reference's per-feature
+virtual calls (``src/feature.cpp``). Parity targets cited per function.
+
+Local parametrization (log-depth): x = (X/Z, Y/Z, log Z) in the REFERENCE
+group's camera frame (``src/feature.h:258-262``, ``common/project.h:62-95``).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import cam as cam_mod
+from ..geom import so3
+from . import layout as L
+
+
+def unproject_logz(x):
+    """(X/Z, Y/Z, log Z) -> Xc, with 3x3 Jacobian (common/project.h:80-95)."""
+    z = jnp.exp(x[2])
+    Xc = jnp.array([x[0] * z, x[1] * z, z])
+    J = jnp.array([[z, 0.0, x[0] * z],
+                   [0.0, z, x[1] * z],
+                   [0.0, 0.0, z]])
+    return Xc, J
+
+
+def project_logz(Xc):
+    """Xc -> (X/Z, Y/Z, log Z), with 3x3 Jacobian (common/project.h:62-76)."""
+    iz = 1.0 / Xc[2]
+    x = jnp.array([Xc[0] * iz, Xc[1] * iz, jnp.log(Xc[2])])
+    J = jnp.array([[iz, 0.0, -Xc[0] * iz * iz],
+                   [0.0, iz, -Xc[1] * iz * iz],
+                   [0.0, 0.0, iz]])
+    return x, J
+
+
+def project_persp(Xc):
+    """Xc -> (X/Z, Y/Z) with 2x3 Jacobian (common/project.h:11-25)."""
+    iz = 1.0 / Xc[2]
+    xc = Xc[:2] * iz
+    J = jnp.array([[iz, 0.0, -Xc[0] * iz * iz],
+                   [0.0, iz, -Xc[1] * iz * iz]])
+    return xc, J
+
+
+class JacRow(NamedTuple):
+    """One feature's 2-row measurement Jacobian, split by block."""
+    J_motion: jnp.ndarray  # (2, MOTION) — Wsb/Tsb/Wbc/Tbc/td/Cg/bg columns
+    J_cam: jnp.ndarray     # (2, NCAM)
+    J_group: jnp.ndarray   # (2, 6) w.r.t. reference-group pose
+    J_feat: jnp.ndarray    # (2, 3) w.r.t. local feature state
+    inn: jnp.ndarray       # (2,) innovation (measured - predicted)
+    xp_pred: jnp.ndarray   # (2,) predicted pixel
+
+
+def compute_jacobian(cam_kind: int, intrin, X, Rsbr, Tsbr, x, xp_meas,
+                     gyro, online_camera_calib: bool):
+    """Closed-form measurement Jacobian chain for an instate feature.
+
+    Exact port of the frame chain Xc -> Xbr -> Xs -> Xb -> Xcn -> pixel of
+    ``Feature::ComputeJacobian`` (src/feature.cpp:542-656), including the
+    temporal-calibration blocks w.r.t. td / Cg / bg. Validated against
+    autodiff through the retraction in tests/test_jacobians.py.
+    """
+    Rsb, Tsb, Rbc, Tbc = X.Rsb, X.Tsb, X.Rbc, X.Tbc
+    Rsb_t, Rbc_t = Rsb.T, Rbc.T
+
+    Xc, dXc_dx = unproject_logz(x)
+    Xbr = Rbc @ Xc + Tbc
+    Xs = Rsbr @ Xbr + Tsbr
+    Xb = Rsb_t @ (Xs - Tsb)
+    Xcn = Rbc_t @ (Xb - Tbc)
+
+    dXbr_dXc = Rbc
+    dXbr_dWbc = -Rbc @ so3.hat(Xc)
+    dXs_dXbr = Rsbr
+    dXs_dWsbr = -Rsbr @ so3.hat(Xbr)
+    dXb_dXs = Rsb_t
+    dXb_dTsb = -Rsb_t
+    dXb_dWsb = so3.hat(Xb)
+    dXcn_dXb = Rbc_t
+
+    dXcn_dXs = dXcn_dXb @ dXb_dXs
+    dXcn_dTbc = -Rbc_t + dXcn_dXs @ dXs_dXbr            # dXbr_dTbc = I
+    dXcn_dWbc = so3.hat(Xcn) + dXcn_dXs @ dXs_dXbr @ dXbr_dWbc
+    dXcn_dTsb = dXcn_dXb @ dXb_dTsb
+    dXcn_dWsb = dXcn_dXb @ dXb_dWsb
+    dXcn_dTsbr = dXcn_dXs                                # dXs_dTsbr = I
+    dXcn_dWsbr = dXcn_dXs @ dXs_dWsbr
+    dXcn_dx = dXcn_dXs @ dXs_dXbr @ dXbr_dXc @ dXc_dx
+
+    # temporal-calibration blocks (src/feature.cpp:593-609)
+    gyro_calib = X.Cg @ gyro - X.bg
+    dXcn_dtd = -Rbc_t @ (so3.hat(gyro_calib) @ Rsb_t @ (Xs - Tsb)
+                         + Rsb_t @ X.Vsb)
+    dXcn_dW = so3.dAB_dB(Rbc_t @ so3.hat(Rsb_t @ (Xs - Tsb)) * X.td, 3, 1)
+    dW_dCg = jnp.zeros((3, 9), x.dtype)
+    for i in range(3):
+        dW_dCg = dW_dCg.at[i, 3 * i:3 * i + 3].set(gyro)
+    dXcn_dCg = dXcn_dW @ dW_dCg
+    dXcn_dbg = -dXcn_dW
+
+    xcn, dxcn_dXcn = project_persp(Xcn)
+    xp_pred, dxp_dxcn, dxp_dintrin = cam_mod.project_with_jac(
+        cam_kind, intrin, xcn)
+    dxp_dXcn = dxp_dxcn @ dxcn_dXcn
+
+    Jm = jnp.zeros((2, L.MOTION), x.dtype)
+    Jm = Jm.at[:, L.WSB:L.WSB + 3].set(dxp_dXcn @ dXcn_dWsb)
+    Jm = Jm.at[:, L.TSB:L.TSB + 3].set(dxp_dXcn @ dXcn_dTsb)
+    Jm = Jm.at[:, L.WBC:L.WBC + 3].set(dxp_dXcn @ dXcn_dWbc)
+    Jm = Jm.at[:, L.TBC:L.TBC + 3].set(dxp_dXcn @ dXcn_dTbc)
+    Jm = Jm.at[:, L.TD].set(dxp_dXcn @ dXcn_dtd)
+    Jm = Jm.at[:, L.CG:L.CG + 9].set(dxp_dXcn @ dXcn_dCg)
+    Jm = Jm.at[:, L.BG:L.BG + 3].set(dxp_dXcn @ dXcn_dbg)
+
+    J_cam = dxp_dintrin if online_camera_calib else jnp.zeros_like(dxp_dintrin)
+    J_group = jnp.concatenate([dxp_dXcn @ dXcn_dWsbr,
+                               dxp_dXcn @ dXcn_dTsbr], axis=1)
+    J_feat = dxp_dXcn @ dXcn_dx
+
+    return JacRow(J_motion=Jm, J_cam=J_cam, J_group=J_group, J_feat=J_feat,
+                  inn=xp_meas - xp_pred, xp_pred=xp_pred)
+
+
+def predict_pixel(cam_kind: int, intrin, X, Rsbr, Tsbr, x):
+    """Reproject a feature into the current frame (Feature::Predict)."""
+    Xc, _ = unproject_logz(x)
+    Xs = Rsbr @ (X.Rbc @ Xc + X.Tbc) + Tsbr
+    Xb = X.Rsb.T @ (Xs - X.Tsb)
+    Xcn = X.Rbc.T @ (Xb - X.Tbc)
+    xcn, _ = project_persp(Xcn)
+    return cam_mod.project(cam_kind, intrin, xcn), Xcn[2]
+
+
+def subfilter_update(cam_kind: int, intrin, X, Rsbr, Tsbr, x, Psub, xp_meas,
+                     Rtri: float, MH_thresh: float):
+    """Per-feature 3-dim depth subfilter EKF step.
+
+    Port of Feature::SubfilterUpdate (src/feature.cpp:246-297): predicted
+    reprojection, MH-ratio-based R inflation, Kalman update in Joseph form.
+    Returns (x', Psub', outlier_increment).
+    """
+    Xc, dXc_dx = unproject_logz(x)
+    # g(curr cam <- ref cam) = (gsb gbc)^-1 (gsbr gbc)
+    Rcs = (X.Rsb @ X.Rbc).T
+    Tcs = -Rcs @ (X.Rsb @ X.Tbc + X.Tsb)
+    Rtot = Rcs @ (Rsbr @ X.Rbc)
+    Ttot = Rcs @ (Rsbr @ X.Tbc + Tsbr) + Tcs
+    Xcn = Rtot @ Xc + Ttot
+    xcn, dxcn_dXcn = project_persp(Xcn)
+    xp_pred, dxp_dxcn, _ = cam_mod.project_with_jac(cam_kind, intrin, xcn)
+
+    H = dxp_dxcn @ dxcn_dXcn @ Rtot @ dXc_dx   # (2,3)
+    inn = xp_meas - xp_pred
+
+    S = H @ Psub @ H.T
+    S = S + Rtri * jnp.eye(2, dtype=x.dtype)
+    # MH ratio with threshold; inflate R when suspicious
+    Sinv = jnp.linalg.inv(S)
+    ratio = inn @ (Sinv @ inn) / MH_thresh
+    bad = ratio > 1.0
+    S = S + jnp.where(bad, Rtri * (ratio - 1.0), 0.0) * jnp.eye(2, dtype=x.dtype)
+    outlier_inc = jnp.where(bad, jnp.sqrt(jnp.maximum(ratio, 0.0)), 0.0)
+
+    K = Psub @ H.T @ jnp.linalg.inv(S)
+    x_new = x + K @ inn
+    I_KH = jnp.eye(3, dtype=x.dtype) - K @ H
+    P_new = I_KH @ Psub @ I_KH.T + Rtri * (K @ K.T)
+    return x_new, P_new, outlier_inc, bad
+
+
+def triangulate_two_view(g12_R, g12_T, xc1, xc2, method: str = "dlt_avg"):
+    """Two-view triangulation of Xc1 given calibrated rays.
+
+    g12 = transform from camera-2 coords to camera-1 coords (pose of cam2
+    in cam1), unit-plane coords xc1/xc2. Methods mirror src/helpers.cpp:
+    DLT-SVD / DLT-avg / L1-angular.
+    Returns Xc1 (3,) — caller range-checks depth.
+    """
+    if method in ("direct_linear_transform_avg", "dlt_avg"):
+        # midpoint of closest points on the two rays
+        d1 = jnp.array([xc1[0], xc1[1], 1.0])
+        d2g = g12_R @ jnp.array([xc2[0], xc2[1], 1.0])
+        o2 = g12_T
+        a = d1 @ d1
+        b = d1 @ d2g
+        c = d2g @ d2g
+        d = d1 @ o2
+        e = d2g @ o2
+        den = a * c - b * b
+        den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+        t1 = (c * d - b * e) / den
+        t2 = (b * d - a * e) / den
+        return 0.5 * (t1 * d1 + (o2 + t2 * d2g))
+    if method in ("direct_linear_transform_svd", "dlt_svd"):
+        # rows of A from the two projections; solve A X_h = 0
+        R21 = g12_R.T
+        T21 = -R21 @ g12_T
+        P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+        P2 = jnp.concatenate([R21, T21[:, None]], axis=1)
+        A = jnp.stack([
+            xc1[0] * P1[2] - P1[0],
+            xc1[1] * P1[2] - P1[1],
+            xc2[0] * P2[2] - P2[0],
+            xc2[1] * P2[2] - P2[1],
+        ])
+        _, _, vt = jnp.linalg.svd(A)
+        Xh = vt[-1]
+        return Xh[:3] / jnp.where(jnp.abs(Xh[3]) < 1e-12, 1e-12, Xh[3])
+    # l1_angular (Lee & Civera): pick the ray with smaller sine error,
+    # intersect depth along the better-conditioned direction
+    d1 = jnp.array([xc1[0], xc1[1], 1.0])
+    f2 = jnp.array([xc2[0], xc2[1], 1.0])
+    d2g = g12_R @ f2
+    t = g12_T
+    n1 = jnp.cross(d1, t)
+    n2 = jnp.cross(d2g, t)
+    # depth along ray 1 minimizing L1 angular error: project onto the
+    # epipolar plane of the larger-magnitude normal
+    use1 = jnp.linalg.norm(n1) >= jnp.linalg.norm(n2)
+    n = jnp.where(use1, n1 / (jnp.linalg.norm(n1) + 1e-20),
+                  n2 / (jnp.linalg.norm(n2) + 1e-20))
+    d1c = jnp.where(use1, d1, d1 - (d1 @ n) * n)
+    d2c = jnp.where(use1, d2g - (d2g @ n) * n, d2g)
+    # closest point on corrected rays (same midpoint formula)
+    a = d1c @ d1c
+    b = d1c @ d2c
+    c = d2c @ d2c
+    d = d1c @ t
+    e = d2c @ t
+    den = a * c - b * b
+    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    t1 = (c * d - b * e) / den
+    t2 = (b * d - a * e) / den
+    return 0.5 * (t1 * d1c + (t + t2 * d2c))
+
+
+def change_owner(X, Rsbr_old, Tsbr_old, Rsbr_new, Tsbr_new, x, Psub):
+    """Re-parametrize a feature to a new reference group.
+
+    Port of Feature::ChangeOwner (src/feature.cpp:211-243). Returns
+    (x', Psub', ok) where ok=False on negative depth.
+    """
+    Xc, dXc_dx = unproject_logz(x)
+    # spatial position and its Jacobian w.r.t. local state
+    Rsc_old = Rsbr_old @ X.Rbc
+    Xs = Rsc_old @ Xc + Rsbr_old @ X.Tbc + Tsbr_old
+    dXs_dx = Rsc_old @ dXc_dx
+    # into the new reference camera
+    Rsc_new = Rsbr_new @ X.Rbc
+    Xcn = Rsc_new.T @ (Xs - (Rsbr_new @ X.Tbc + Tsbr_new))
+    dXcn_dx = Rsc_new.T @ dXs_dx
+    ok = Xcn[2] > 0
+    zsafe = jnp.where(ok, Xcn[2], 1.0)
+    Xcn_safe = Xcn.at[2].set(zsafe)
+    xn, dxn_dXcn = project_logz(Xcn_safe)
+    J = dxn_dXcn @ dXcn_dx
+    return xn, J @ Psub @ J.T, ok
