@@ -1,0 +1,261 @@
+"""Streaming estimator API mirroring the pyxivo surface.
+
+The host-side driver around the jitted device step: message reordering,
+gravity initialization, IMU batching per visual frame, and the ~55
+accessors of the reference Python binding (pybind11/pyxivo.cpp:332-398).
+Heavy math never happens here — each visual frame is ONE device call.
+"""
+from __future__ import annotations
+
+import heapq
+import itertools
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..filter import layout as L
+from ..filter.config import (VIOConfig, config_from_json,
+                             load_json_with_comments)
+from ..filter.pipeline import vio_frame
+from ..filter.state import VIOState, init_state
+from ..geom import so3
+
+IMU_CAP = 32      # max IMU samples buffered per visual frame
+MEAS_CAP = 256    # max point measurements per visual frame
+
+
+class Estimator:
+    """Drop-in analogue of pyxivo.Estimator for the point-cloud path."""
+
+    def __init__(self, cfg, dims=None, dtype: Optional[str] = None,
+                 **overrides):
+        if isinstance(cfg, str):
+            cfg = load_json_with_comments(cfg)
+        if isinstance(cfg, dict):
+            cfg = config_from_json(cfg, dims=dims, **overrides)
+        if dtype is not None:
+            cfg = cfg.__class__(**{**cfg.__dict__, "dtype": dtype})
+        self.cfg: VIOConfig = cfg
+        self.state: VIOState = init_state(cfg)
+        self._step = jax.jit(partial(vio_frame, cfg), donate_argnums=(0,))
+
+        self.gravity_initialized = cfg.simulation  # sims skip gravity init
+        self.vision_initialized = False
+        self._grav_buf = []
+        self._pending_imu = []     # [(ts, gyro, accel)]
+        self._last_prop_time = None
+        self._last_out = None
+        self._seq = itertools.count()
+        self._buf = []             # reorder heap [(ts, kind, n, payload)]
+
+    # ------------------------------------------------------------------
+    # measurement entry points (pyxivo parity)
+    # ------------------------------------------------------------------
+
+    def InertialMeas(self, ts: float, gyro, accel):
+        gyro = np.asarray(gyro, float)
+        accel = np.asarray(accel, float)
+        if not self.gravity_initialized:
+            self._grav_buf.append(accel)
+            if len(self._grav_buf) >= max(self.cfg.gravity_init_counter, 1):
+                self._init_gravity(ts, gyro, accel)
+            return
+        if not self.vision_initialized:
+            # the reference discards inertial input until vision starts,
+            # but keeps the latest sample as the propagation seed
+            self._seed_imu(ts, gyro, accel)
+            return
+        self._pending_imu.append((ts, gyro, accel))
+
+    def VisualMeasPointCloud(self, ts: float, ids, xp_and_depths):
+        """Synthetic-measurement frame (VisualMeasPointCloudInternal)."""
+        if not self.gravity_initialized:
+            return
+        ids = np.asarray(ids)
+        xpd = np.asarray(xp_and_depths, float).reshape(-1, 3)
+
+        if not self.vision_initialized:
+            self.vision_initialized = True
+            self._last_prop_time = ts
+            self._run_frame(ts, [], ids, xpd)
+            return
+        self._run_frame(ts, self._pending_imu, ids, xpd)
+        self._pending_imu = []
+
+    def InitWithSimDepths(self):
+        cfg = self.cfg
+        self.cfg = cfg.__class__(**{**cfg.__dict__,
+                                    "sim_initialize_depths": True})
+        self._step = jax.jit(partial(vio_frame, self.cfg),
+                             donate_argnums=(0,))
+
+    def ScaleInitVelocity(self, scale: float):
+        X = self.state.X
+        self.state = self.state._replace(X=X._replace(Vsb=X.Vsb * scale))
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _init_gravity(self, ts, gyro, accel):
+        """InitializeGravity parity (src/estimator.cpp:439-473)."""
+        X = self.state.X
+        mean_accel = np.mean(self._grav_buf, axis=0)
+        Ca = np.asarray(X.Ca)
+        accel_calib = Ca @ mean_accel - np.asarray(X.ba)
+        g = -np.asarray(self.cfg.gravity)
+        # rotation taking -g to accel_calib
+        a = g / np.linalg.norm(g)
+        b = accel_calib / max(np.linalg.norm(accel_calib), 1e-12)
+        v = np.cross(a, b)
+        s = np.linalg.norm(v)
+        c = np.dot(a, b)
+        w = v / s * np.arctan2(s, c) if s > 1e-12 else np.zeros(3)
+        w[2] = 0.0
+        Rsg = np.asarray(so3.exp(jnp.asarray(w)))
+        dt = np.dtype(self.cfg.dtype)
+        self.state = self.state._replace(X=X._replace(
+            Rsg=jnp.asarray(Rsg, dt)))
+        self._seed_imu(ts, gyro, accel)
+        self.gravity_initialized = True
+        self._grav_buf = []
+
+    def _seed_imu(self, ts, gyro, accel):
+        dt = np.dtype(self.cfg.dtype)
+        self.state = self.state._replace(
+            last_gyro=jnp.asarray(gyro, dt),
+            last_accel=jnp.asarray(accel, dt),
+            slope_gyro=jnp.zeros(3, dt), slope_accel=jnp.zeros(3, dt))
+        self._last_prop_time = ts
+
+    def _run_frame(self, ts, imu, ids, xpd):
+        dtype = np.dtype(self.cfg.dtype)
+        gyro = np.zeros((IMU_CAP, 3), dtype)
+        accel = np.zeros((IMU_CAP, 3), dtype)
+        dts = np.zeros((IMU_CAP,), dtype)
+        t_prev = self._last_prop_time
+        for i, (t, gy, ac) in enumerate(imu[:IMU_CAP]):
+            gyro[i] = gy
+            accel[i] = ac
+            dts[i] = max(t - t_prev, 0.0)
+            t_prev = t
+        frame_dt = max(ts - t_prev, 0.0)
+        self._last_prop_time = ts
+
+        mid = np.full((MEAS_CAP,), -1, np.int32)
+        mxp = np.zeros((MEAS_CAP, 2), dtype)
+        mdepth = np.full((MEAS_CAP,), -1.0, dtype)
+        mvalid = np.zeros((MEAS_CAP,), bool)
+        n = min(len(ids), MEAS_CAP)
+        if len(ids) > MEAS_CAP:
+            # keep measurements of existing tracks first
+            live = set(np.asarray(self.state.features.fid).tolist())
+            pri = np.argsort([0 if int(i) in live else 1 for i in ids],
+                             kind="stable")[:MEAS_CAP]
+            ids, xpd = np.asarray(ids)[pri], xpd[pri]
+        mid[:n] = np.asarray(ids[:n], np.int32)
+        mxp[:n] = xpd[:n, :2]
+        mdepth[:n] = xpd[:n, 2]
+        mvalid[:n] = True
+
+        self.state, out = self._step(
+            self.state, jnp.asarray(gyro), jnp.asarray(accel),
+            jnp.asarray(dts), jnp.asarray(dtype.type(frame_dt)),
+            jnp.asarray(mid), jnp.asarray(mxp), jnp.asarray(mdepth),
+            jnp.asarray(mvalid))
+        self._last_out = out
+
+    # ------------------------------------------------------------------
+    # accessors (pyxivo parity, pybind11/pyxivo.cpp:332-398)
+    # ------------------------------------------------------------------
+
+    def gsb(self):
+        X = self.state.X
+        return np.asarray(X.Rsb), np.asarray(X.Tsb)
+
+    def gbc(self):
+        X = self.state.X
+        return np.asarray(X.Rbc), np.asarray(X.Tbc)
+
+    def gsc(self):
+        Rsb, Tsb = self.gsb()
+        Rbc, Tbc = self.gbc()
+        return Rsb @ Rbc, Rsb @ Tbc + Tsb
+
+    def Vsb(self):
+        return np.asarray(self.state.X.Vsb)
+
+    def bg(self):
+        return np.asarray(self.state.X.bg)
+
+    def ba(self):
+        return np.asarray(self.state.X.ba)
+
+    def Rg(self):
+        return np.asarray(self.state.X.Rsg)
+
+    def td(self):
+        return float(self.state.X.td)
+
+    def Ca(self):
+        return np.asarray(self.state.X.Ca)
+
+    def Cg(self):
+        return np.asarray(self.state.X.Cg)
+
+    def Pstate(self):
+        return np.asarray(self.state.P[:L.MOTION, :L.MOTION])
+
+    def P(self):
+        return np.asarray(self.state.P)
+
+    def camera_intrinsics(self):
+        return np.asarray(self.state.cam)
+
+    def now(self):
+        return self._last_prop_time
+
+    def num_instate_features(self):
+        return int((np.asarray(self.state.features.sind) >= 0).sum())
+
+    def num_instate_groups(self):
+        return int((np.asarray(self.state.groups.sind) >= 0).sum())
+
+    def num_tracked_features(self):
+        o = self._last_out
+        return int(o.num_tracked) if o is not None else 0
+
+    def num_mh_rejected(self):
+        o = self._last_out
+        return int(o.num_mh_rejected) if o is not None else 0
+
+    def inn_rms(self):
+        o = self._last_out
+        return float(o.inn_rms) if o is not None else 0.0
+
+    def InstateFeaturePositions(self):
+        """Spatial positions of instate features (+ ids)."""
+        fr = self.state.features
+        gr = self.state.groups
+        sel = np.asarray(fr.sind) >= 0
+        x = np.asarray(fr.x)[sel]
+        ref = np.asarray(fr.ref)[sel]
+        Rbc, Tbc = self.gbc()
+        Xs = []
+        for xi, ri in zip(x, ref):
+            z = np.exp(xi[2])
+            Xc = np.array([xi[0] * z, xi[1] * z, z])
+            R = np.asarray(gr.Rsb)[ri]
+            T = np.asarray(gr.Tsb)[ri]
+            Xs.append(R @ (Rbc @ Xc + Tbc) + T)
+        ids = np.asarray(fr.fid)[sel]
+        return np.asarray(Xs).reshape(-1, 3), ids
+
+    def InstateGroupPoses(self):
+        gr = self.state.groups
+        sel = np.asarray(gr.sind) >= 0
+        return (np.asarray(gr.Rsb)[sel], np.asarray(gr.Tsb)[sel],
+                np.asarray(gr.gid)[sel])

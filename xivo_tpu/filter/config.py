@@ -131,6 +131,9 @@ class VIOConfig:
     gravity_init_counter: int = 20
     imu_tk_convention: bool = False
     simulation: bool = False
+    # initialize new features at ground-truth depth in simulation (the
+    # pyxivo `InitWithSimDepths` hook, pybind11/pyxivo.cpp:385)
+    sim_initialize_depths: bool = False
 
     # initial nominal state & uncertainties (as std-devs; squared on build)
     X_Wsb: Tuple = (0.0, 0.0, 0.0)

@@ -49,7 +49,11 @@ class Dims(NamedTuple):
     """
     n_groups: int = 15     # instate group slots (kMaxGroup)
     n_features: int = 30   # instate feature slots (kMaxFeature)
-    ng_rows: int = 64      # group-table rows (graph capacity)
+    # graph capacities. ng_rows must absorb worst-case reference pinning:
+    # every live track pins its creation-frame group row, so size it
+    # relative to nf_rows (cf. MemoryManager pools, src/mm.cpp; cfg
+    # "memory.max_groups")
+    ng_rows: int = 128     # group-table rows (graph capacity)
     nf_rows: int = 256     # feature/track-table rows (graph capacity)
 
     @property

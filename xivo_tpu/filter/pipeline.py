@@ -1,0 +1,788 @@
+"""The per-frame VIO pipeline as one pure jitted function.
+
+This is the TPU-native re-design of the reference's UpdateStep /
+ProcessTracks / SelectAndAddNewFeatures / OutlierRejection machinery
+(``src/manager.cpp``, ``src/update.cpp``): every list mutation, pointer
+walk, and covariance surgery becomes a masked operation over the
+fixed-capacity tables in ``VIOState``. The whole thing — IMU scan,
+tracker association, subfilters, admission, gating, Joseph update, group
+lifecycle — compiles to a single XLA program per frame, scans over frames
+and vmaps over sequences.
+
+Slot/row conventions: "row" indexes the feature/group tables (graph
+capacity); "slot" indexes the EKF window (n_features/n_groups). Scatters
+to row index == table size are dropped (out-of-bounds scatter semantics),
+which we use as a trash target for masked writes.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import cam as cam_mod
+from ..geom import so3
+from . import layout as L
+from .config import VIOConfig
+from .features import (change_owner, predict_pixel, subfilter_update,
+                       triangulate_two_view, unproject_logz)
+from .propagate import imu_sample_update, propagate_state
+from .state import (FS_CREATED, FS_EMPTY, FS_GAUGE, FS_INITIALIZING,
+                    FS_INSTATE, FS_READY, TS_CREATED, TS_DROPPED, TS_NONE,
+                    TS_TRACKED, FeatureTable, GroupTable, VIOState)
+from .update import (absorb_error, build_stacked_jacobian, joseph_update,
+                     mh_distances, mh_gate, zero_state_entries)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _rank_assign(free_mask, want_mask, order_key):
+    """Assign wanted items to free slots in priority order.
+
+    free_mask: (S,) free slots; want_mask: (N,) items wanting a slot;
+    order_key: (N,) smaller = higher priority. Returns (slot_of_item (N,),
+    got_mask (N,)): slot_of_item[i] is the assigned slot or S (trash).
+    """
+    S = free_mask.shape[0]
+    N = want_mask.shape[0]
+    # priority rank of each wanting item
+    key = jnp.where(want_mask, order_key, jnp.inf)
+    order = jnp.argsort(key)                       # item indices by priority
+    rank_of_item = jnp.zeros(N, jnp.int32).at[order].set(
+        jnp.arange(N, dtype=jnp.int32))
+    # slot of each rank
+    free_rank = jnp.cumsum(free_mask.astype(jnp.int32)) - 1   # (S,)
+    slot_of_rank = jnp.full((N,), S, jnp.int32)
+    slot_of_rank = slot_of_rank.at[jnp.where(free_mask, free_rank, N)].set(
+        jnp.arange(S, dtype=jnp.int32))
+    n_free = jnp.sum(free_mask.astype(jnp.int32))
+    got = want_mask & (rank_of_item < n_free)
+    slot = jnp.where(got, slot_of_rank[jnp.clip(rank_of_item, 0, N - 1)], S)
+    return slot.astype(jnp.int32), got
+
+
+def _feature_keep_vector(cfg: VIOConfig, slot_mask, dtype):
+    """(D,) keep-vector that zeroes the 3 entries of each masked feature slot."""
+    d = cfg.dims
+    keep = jnp.ones((d.full,), dtype)
+    block = jnp.repeat(slot_mask, 3)               # (3F,)
+    keep = keep.at[d.feature_begin:].set(jnp.where(block, 0.0, 1.0))
+    return keep
+
+
+def _group_keep_vector(cfg: VIOConfig, slot_mask, dtype):
+    d = cfg.dims
+    keep = jnp.ones((d.full,), dtype)
+    block = jnp.repeat(slot_mask, 6)               # (6G,)
+    keep = keep.at[L.GROUP_BEGIN:L.GROUP_BEGIN + 6 * d.n_groups].set(
+        jnp.where(block, 0.0, 1.0))
+    return keep
+
+
+def _clear_feature_rows(fr: FeatureTable, mask) -> FeatureTable:
+    """Reset table rows where mask is True (Feature::Destroy parity)."""
+    m = mask
+    return fr._replace(
+        fid=jnp.where(m, -1, fr.fid),
+        status=jnp.where(m, FS_EMPTY, fr.status),
+        track=jnp.where(m, TS_NONE, fr.track),
+        ref=jnp.where(m, -1, fr.ref),
+        sind=jnp.where(m, -1, fr.sind),
+        init_counter=jnp.where(m, 0, fr.init_counter),
+        lifetime=jnp.where(m, 0, fr.lifetime),
+        outlier_counter=jnp.where(m, 0.0, fr.outlier_counter),
+        tri_ok=jnp.where(m, False, fr.tri_ok),
+        adj=jnp.where(m[:, None], False, fr.adj),
+        sim_depth=jnp.where(m, -1.0, fr.sim_depth),
+    )
+
+
+def _remove_features_from_state(cfg: VIOConfig, s: VIOState, row_mask):
+    """Free EKF slots of the masked feature rows + zero their covariance.
+
+    Port of RemoveFeatureFromState (src/estimator.cpp:762-783).
+    """
+    fr = s.features
+    hit = row_mask & (fr.sind >= 0)
+    # slot mask: scatter rows' slots
+    slot_mask = jnp.zeros((cfg.dims.n_features,), bool)
+    slot_mask = slot_mask.at[jnp.where(hit, fr.sind, cfg.dims.n_features)
+                             ].set(True)
+    P = zero_state_entries(
+        s.P, _feature_keep_vector(cfg, slot_mask, s.P.dtype) > 0)
+    f2row = jnp.where(slot_mask, -1, s.f2row)
+    fr = fr._replace(sind=jnp.where(hit, -1, fr.sind),
+                     status=jnp.where(hit, FS_READY, fr.status))
+    return s._replace(P=P, f2row=f2row, features=fr)
+
+
+def _remove_groups_from_state(cfg: VIOConfig, s: VIOState, grow_mask):
+    """Free EKF slots of masked group rows (RemoveGroupFromState parity)."""
+    gr = s.groups
+    hit = grow_mask & (gr.sind >= 0)
+    slot_mask = jnp.zeros((cfg.dims.n_groups,), bool)
+    slot_mask = slot_mask.at[jnp.where(hit, gr.sind, cfg.dims.n_groups)
+                             ].set(True)
+    P = zero_state_entries(
+        s.P, _group_keep_vector(cfg, slot_mask, s.P.dtype) > 0)
+    g2row = jnp.where(slot_mask, -1, s.g2row)
+    gr = gr._replace(sind=jnp.where(hit, -1, gr.sind))
+    # losing the gauge group resets the gauge (src/estimator.cpp:1320-1324)
+    lost_gauge = jnp.any(hit & (jnp.arange(gr.gid.shape[0]) == s.gauge_row))
+    gauge_row = jnp.where(lost_gauge, -1, s.gauge_row)
+    return s._replace(P=P, g2row=g2row, groups=gr, gauge_row=gauge_row)
+
+
+# ---------------------------------------------------------------------------
+# tracker (POINTCLOUD mode)
+# ---------------------------------------------------------------------------
+
+def tracker_pointcloud(cfg: VIOConfig, s: VIOState, meas_id, meas_xp,
+                       meas_depth, meas_valid) -> VIOState:
+    """Id-keyed synthetic measurement association.
+
+    Port of Tracker::UpdatePointCloud (src/tracker.cpp:632-702): match
+    measurement ids to live tracks, update matched tracks (displacement
+    check), drop unmatched tracks, create new tracks from unmatched
+    measurements up to num_features_max.
+    """
+    fr = s.features
+    NF = fr.fid.shape[0]
+    M = meas_id.shape[0]
+
+    active = fr.active
+    # (NF, M) equality — ids are unique per side
+    eq = (fr.fid[:, None] == meas_id[None, :]) & active[:, None] \
+        & meas_valid[None, :]
+    has_match = jnp.any(eq, axis=1)
+    match_j = jnp.argmax(eq, axis=1)  # (NF,) measurement index
+    mxp = meas_xp[jnp.clip(match_j, 0, M - 1)]
+    mdepth = meas_depth[jnp.clip(match_j, 0, M - 1)]
+
+    disp_ok = jnp.linalg.norm(mxp - fr.xp, axis=1) \
+        < cfg.max_pixel_displacement
+    tracked = has_match & disp_ok
+    dropped = active & ~tracked
+
+    fr = fr._replace(
+        track=jnp.where(tracked, TS_TRACKED,
+                        jnp.where(dropped, TS_DROPPED, fr.track)),
+        xp=jnp.where(tracked[:, None], mxp.astype(fr.xp.dtype), fr.xp),
+        sim_depth=jnp.where(tracked, mdepth.astype(fr.sim_depth.dtype),
+                            fr.sim_depth),
+    )
+
+    # measurements already claimed by a track
+    claimed = jnp.any(eq & tracked[:, None], axis=0)
+    to_create = meas_valid & ~claimed
+    # capacity: num_features_max minus surviving tracks
+    n_live = jnp.sum(tracked.astype(jnp.int32))
+    budget = jnp.maximum(cfg.num_features_max - n_live, 0)
+    order = jnp.cumsum(to_create.astype(jnp.int32)) - 1
+    to_create = to_create & (order < budget)
+
+    slot_of_meas, got = _rank_assign(
+        ~fr.active & ~tracked, to_create,
+        jnp.arange(M, dtype=fr.xp.dtype))
+    tgt = jnp.where(got, slot_of_meas, NF)
+    fr = fr._replace(
+        fid=fr.fid.at[tgt].set(meas_id.astype(jnp.int32)),
+        status=fr.status.at[tgt].set(FS_CREATED),
+        track=fr.track.at[tgt].set(TS_CREATED),
+        ref=fr.ref.at[tgt].set(-1),
+        sind=fr.sind.at[tgt].set(-1),
+        init_counter=fr.init_counter.at[tgt].set(0),
+        lifetime=fr.lifetime.at[tgt].set(0),
+        outlier_counter=fr.outlier_counter.at[tgt].set(0.0),
+        xp=fr.xp.at[tgt].set(meas_xp.astype(fr.xp.dtype)),
+        tri_ok=fr.tri_ok.at[tgt].set(False),
+        adj=fr.adj.at[tgt].set(False),
+        sim_depth=fr.sim_depth.at[tgt].set(meas_depth.astype(fr.xp.dtype)),
+    )
+    return s._replace(features=fr)
+
+
+# ---------------------------------------------------------------------------
+# UpdateStep phases
+# ---------------------------------------------------------------------------
+
+def _process_tracks(cfg: VIOConfig, s: VIOState):
+    """ProcessTracks (src/manager.cpp:171-250) in masked form.
+
+    Returns (state, affected_groups (NG,) bool).
+    """
+    fr = s.features
+    gr = s.groups
+    NG = gr.gid.shape[0]
+    kind = cam_mod.MODEL_IDS[cfg.cam_model]
+
+    active = fr.active
+    instate = fr.sind >= 0
+    dropped = active & (fr.track == TS_DROPPED)
+
+    # lifetimes
+    fr = fr._replace(lifetime=jnp.where(active, fr.lifetime + 1, fr.lifetime))
+    gr = gr._replace(lifetime=jnp.where(gr.active, gr.lifetime + 1,
+                                        gr.lifetime))
+    s = s._replace(features=fr, groups=gr)
+
+    # 1) instate features dropped by the tracker -> free slot, mark group
+    inst_drop = dropped & instate
+    affected = jnp.zeros((NG,), bool)
+    affected = affected.at[jnp.where(inst_drop, fr.ref, NG)].set(True)
+    s = _remove_features_from_state(cfg, s, inst_drop)
+
+    # 2) all dropped rows leave the table
+    s = s._replace(features=_clear_feature_rows(s.features, dropped))
+    fr = s.features
+
+    # 3) subfilter update for tracked, non-instate features
+    sub = fr.active & (fr.track == TS_TRACKED) & (fr.sind < 0) \
+        & ((fr.status == FS_INITIALIZING) | (fr.status == FS_READY))
+
+    grow = jnp.clip(fr.ref, 0, NG - 1)
+    Rsbr = gr.Rsb[grow]
+    Tsbr = gr.Tsb[grow]
+
+    # 3a) two-view triangulation on the second observation
+    if cfg.triangulate_pre_subfilter:
+        NF = fr.fid.shape[0]
+        first_xp = fr.adj_xp[jnp.arange(NF), grow]   # obs in the ref group
+        n_tri = sub & (fr.init_counter == 0)
+
+        def tri_one(Rr, Tr, xp1, xp2, x):
+            xc1 = cam_mod.unproject(kind, s.cam, xp1)
+            xc2 = cam_mod.unproject(kind, s.cam, xp2)
+            # g12 = (ref cam <- current cam)
+            R1 = Rr @ s.X.Rbc
+            T1 = Rr @ s.X.Tbc + Tr
+            R2 = s.X.Rsb @ s.X.Rbc
+            T2 = s.X.Rsb @ s.X.Tbc + s.X.Tsb
+            g12R = R1.T @ R2
+            g12T = R1.T @ (T2 - T1)
+            Xc1 = triangulate_two_view(g12R, g12T, xc1, xc2,
+                                       cfg.triangulation.method)
+            z = Xc1[2]
+            ok = (z > cfg.triangulation.zmin) & (z < cfg.triangulation.zmax)
+            zs = jnp.where(ok, z, 1.0)
+            xn = jnp.stack([Xc1[0] / zs, Xc1[1] / zs, jnp.log(zs)])
+            return jnp.where(ok, xn, x), ok
+
+        x_tri, tri_ok = jax.vmap(tri_one)(Rsbr, Tsbr, first_xp, fr.xp, fr.x)
+        fr = fr._replace(
+            x=jnp.where((n_tri & tri_ok)[:, None], x_tri, fr.x),
+            tri_ok=jnp.where(n_tri, tri_ok, fr.tri_ok))
+
+    x_new, P_new, out_inc, bad = jax.vmap(
+        subfilter_update, in_axes=(None, None, None, 0, 0, 0, 0, 0,
+                                   None, None))(
+        kind, s.cam, s.X, Rsbr, Tsbr, fr.x, fr.Psub, fr.xp,
+        cfg.subfilter.Rtri, cfg.subfilter.MH_thresh)
+
+    init_c = jnp.where(sub, fr.init_counter + 1, fr.init_counter)
+    ready = init_c > cfg.subfilter.ready_steps
+    fr = fr._replace(
+        x=jnp.where(sub[:, None], x_new, fr.x),
+        Psub=jnp.where(sub[:, None, None], P_new, fr.Psub),
+        outlier_counter=jnp.where(
+            sub, jnp.where(bad, fr.outlier_counter + out_inc, 0.0),
+            fr.outlier_counter),
+        init_counter=init_c,
+        status=jnp.where(sub, jnp.where(ready, FS_READY, FS_INITIALIZING),
+                         fr.status))
+
+    # 3b) subfilter outlier eviction
+    evict = sub & (fr.outlier_counter > cfg.remove_outlier_counter)
+    fr = _clear_feature_rows(fr, evict)
+    return s._replace(features=fr), affected
+
+
+def _add_feature_blocks(cfg: VIOConfig, P, fr: FeatureTable, new_slot_mask,
+                        row_of_slot):
+    """Insert subfilter covariances into newly-assigned feature slots.
+
+    FillCovarianceBlock parity (src/feature.cpp:753-776): zero the slot's
+    rows, then write Psub on the block diagonal.
+    """
+    d = cfg.dims
+    P = zero_state_entries(
+        P, _feature_keep_vector(cfg, new_slot_mask, P.dtype) > 0)
+    rows = jnp.clip(row_of_slot, 0, fr.fid.shape[0] - 1)
+    blocks = jnp.where(new_slot_mask[:, None, None], fr.Psub[rows], 0.0)
+    eye = jnp.eye(d.n_features, dtype=P.dtype)
+    BD = jnp.einsum("fij,fg->figj", blocks, eye).reshape(
+        3 * d.n_features, 3 * d.n_features)
+    fb = d.feature_begin
+    return P.at[fb:, fb:].add(BD)
+
+
+def _add_group_to_state_P(cfg: VIOConfig, P, gslot):
+    """Copy body-pose covariance rows/cols into a group slot.
+
+    AddGroupToState parity (src/estimator.cpp:786-824): the new group's
+    error is a copy of the current (Wsb, Tsb) error.
+    """
+    D = cfg.dims.full
+    goff = (L.GROUP_BEGIN + 6 * gslot).astype(jnp.int32)
+    zero = jnp.zeros((), jnp.int32)
+    rows = jnp.concatenate([jnp.arange(L.WSB, L.WSB + 3),
+                            jnp.arange(L.TSB, L.TSB + 3)])
+    P = jax.lax.dynamic_update_slice(P, P[rows, :], (goff, zero))
+    P = jax.lax.dynamic_update_slice(P, P[:, rows], (zero, goff))
+    return P
+
+
+def _candidate_mask(cfg: VIOConfig, s: VIOState):
+    fr = s.features
+    strict = s.vision_counter >= cfg.strict_criteria_timesteps
+    status_ok = jnp.where(strict, fr.status == FS_READY,
+                          (fr.status == FS_READY)
+                          | (fr.status == FS_INITIALIZING))
+    z = jnp.exp(fr.x[:, 2])
+    return (fr.active & (fr.sind < 0) & (fr.track == TS_TRACKED) & status_ok
+            & (fr.outlier_counter < 0.01)
+            & (z > cfg.min_z) & (z < cfg.max_z))
+
+
+def _admission_score(fr: FeatureTable):
+    """Smaller = better: READY first, then depth uncertainty.
+
+    Criteria::CandidateComparison parity (src/options.cpp:44-61).
+    """
+    zvar = fr.Psub[:, 2, 2]
+    return jnp.where(fr.status == FS_READY, 0.0, 1e6) + zvar
+
+
+def _admit_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
+    """AddGroupOfFeatures (src/manager.cpp:469-566) as a bounded loop.
+
+    Each iteration admits (at most) the best eligible non-instate group
+    with its READY candidate features.
+    """
+    d = cfg.dims
+    NG = d.ng_rows
+    NF = d.nf_rows
+
+    def body(_, s: VIOState) -> VIOState:
+        fr, gr = s.features, s.groups
+        cand = _candidate_mask(cfg, s) & (fr.status == FS_READY)
+        # per-group candidate counts over non-instate groups
+        ref_oh = (fr.ref[:, None] == jnp.arange(NG)[None, :]) \
+            & cand[:, None]
+        n_cand = jnp.sum(ref_oh, axis=0)
+        free_fslots = jnp.sum((s.f2row < 0).astype(jnp.int32))
+        free_gslots = jnp.sum((s.g2row < 0).astype(jnp.int32))
+        nge = max(cfg.num_gauge_xy_features, 1)
+        eligible = gr.active & (gr.sind < 0) \
+            & (n_cand >= cfg.num_gauge_xy_features)
+        can = (free_gslots > 0) & (free_fslots >= nge) & jnp.any(eligible)
+
+        def admit(s: VIOState) -> VIOState:
+            fr, gr = s.features, s.groups
+            grow = jnp.argmax(jnp.where(eligible, n_cand, -1))
+            gslot = jnp.argmax(s.g2row < 0).astype(jnp.int32)
+            # group bookkeeping
+            gr = gr._replace(sind=gr.sind.at[grow].set(gslot))
+            g2row = s.g2row.at[gslot].set(grow.astype(jnp.int32))
+            P = _add_group_to_state_P(cfg, s.P, gslot)
+            s = s._replace(groups=gr, g2row=g2row, P=P)
+            # admit its candidate features
+            want = cand & (fr.ref == grow)
+            slot_of_row, got = _rank_assign(
+                s.f2row < 0, want, _admission_score(fr))
+            s = _commit_feature_admissions(cfg, s, slot_of_row, got)
+            return s
+
+        return jax.lax.cond(can, admit, lambda s: s, s)
+
+    return jax.lax.fori_loop(0, d.n_groups, body, s)
+
+
+def _commit_feature_admissions(cfg: VIOConfig, s: VIOState, slot_of_row,
+                               got) -> VIOState:
+    """Apply a feature-slot assignment: table, f2row, covariance blocks."""
+    d = cfg.dims
+    fr = s.features
+    NF = fr.fid.shape[0]
+    tgt_slot = jnp.where(got, slot_of_row, d.n_features)
+    f2row = s.f2row.at[tgt_slot].set(
+        jnp.arange(NF, dtype=jnp.int32))
+    new_slot_mask = jnp.zeros((d.n_features,), bool).at[tgt_slot].set(True)
+    fr = fr._replace(
+        sind=jnp.where(got, slot_of_row.astype(jnp.int32), fr.sind),
+        status=jnp.where(got, FS_INSTATE, fr.status))
+    row_of_slot = jnp.full((d.n_features,), -1, jnp.int32).at[
+        tgt_slot].set(jnp.arange(NF, dtype=jnp.int32))
+    P = _add_feature_blocks(cfg, s.P, fr, new_slot_mask, row_of_slot)
+    return s._replace(features=fr, f2row=f2row, P=P)
+
+
+def _admit_features_within_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
+    """AddFeaturesWithInGroups (src/manager.cpp:358-405)."""
+    fr, gr = s.features, s.groups
+    NG = gr.gid.shape[0]
+    cand = _candidate_mask(cfg, s)
+    ref_instate = gr.sind[jnp.clip(fr.ref, 0, NG - 1)] >= 0
+    want = cand & ref_instate & (fr.ref >= 0)
+    slot_of_row, got = _rank_assign(s.f2row < 0, want, _admission_score(fr))
+    return _commit_feature_admissions(cfg, s, slot_of_row, got)
+
+
+def _discard_affected_groups(cfg: VIOConfig, s: VIOState, affected):
+    """DiscardAffectedGroups + ownership transfer (src/manager.cpp:310-328,
+    src/graph.cpp:174-232)."""
+    fr, gr = s.features, s.groups
+    NG = gr.gid.shape[0]
+    NF = fr.fid.shape[0]
+
+    inst_feat = fr.sind >= 0
+    n_instate_of = jnp.sum(
+        (fr.ref[:, None] == jnp.arange(NG)[None, :]) & inst_feat[:, None],
+        axis=0)
+    if cfg.num_gauge_xy_features > 0:
+        discard = affected & gr.active \
+            & (n_instate_of < cfg.num_gauge_xy_features)
+    else:
+        discard = affected & gr.active & (n_instate_of == 0)
+
+    # ownership transfer for features whose ref is discarded
+    needs = fr.active & discard[jnp.clip(fr.ref, 0, NG - 1)] & (fr.ref >= 0)
+    ginstate_ok = gr.instate & ~discard
+    # candidate new owners: groups the feature observed, instate, surviving
+    owner_ok = fr.adj & ginstate_ok[None, :]
+    has_owner = jnp.any(owner_ok, axis=1)
+    new_ref = jnp.argmax(owner_ok, axis=1).astype(jnp.int32)
+
+    grow_old = jnp.clip(fr.ref, 0, NG - 1)
+    grow_new = jnp.clip(new_ref, 0, NG - 1)
+    xn, Pn, okz = jax.vmap(change_owner,
+                           in_axes=(None, 0, 0, 0, 0, 0, 0))(
+        s.X, gr.Rsb[grow_old], gr.Tsb[grow_old],
+        gr.Rsb[grow_new], gr.Tsb[grow_new], fr.x, fr.Psub)
+
+    transfer = needs & has_owner & okz
+    failed = needs & ~transfer
+    fr = fr._replace(
+        x=jnp.where(transfer[:, None], xn, fr.x),
+        Psub=jnp.where(transfer[:, None, None],
+                       Pn * cfg.feature_owner_change_cov_factor, fr.Psub),
+        ref=jnp.where(transfer, new_ref, fr.ref))
+    s = s._replace(features=fr)
+
+    # failed transfers: NULLREFED -> removed from state and destroyed
+    s = _remove_features_from_state(cfg, s, failed)
+    s = s._replace(features=_clear_feature_rows(s.features, failed))
+
+    # the groups themselves: out of state + out of the graph
+    s = _remove_groups_from_state(cfg, s, discard)
+    gr = s.groups
+    gr = gr._replace(gid=jnp.where(discard, -1, gr.gid),
+                     lifetime=jnp.where(discard, 0, gr.lifetime))
+    fr = s.features._replace(adj=s.features.adj & ~discard[None, :])
+    return s._replace(groups=gr, features=fr)
+
+
+def _refresh_gauge_features(cfg: VIOConfig, s: VIOState) -> VIOState:
+    """Keep every instate group at num_gauge_xy gauge features.
+
+    Invariant form of FindNewGaugeFeatures (src/graph.cpp:271-360): any
+    instate group with fewer than num_gauge_xy gauge features promotes its
+    lowest-uncertainty instate features and freezes their XY covariance
+    (FixFeatureXY, src/estimator.cpp:1474-1478).
+    """
+    if cfg.num_gauge_xy_features == 0:
+        return s
+    fr, gr = s.features, s.groups
+    NG = gr.gid.shape[0]
+    NF = fr.fid.shape[0]
+    is_gauge = fr.active & (fr.status == FS_GAUGE) & (fr.sind >= 0)
+    ref_oh = fr.ref[:, None] == jnp.arange(NG)[None, :]
+    n_gauge = jnp.sum(ref_oh & is_gauge[:, None], axis=0)
+    deficit = jnp.where(gr.instate,
+                        cfg.num_gauge_xy_features - n_gauge, 0)
+
+    cand = fr.active & (fr.status == FS_INSTATE) & (fr.sind >= 0) \
+        & (fr.ref >= 0)
+    # rank candidates within their ref group by row order
+    lower = jnp.tril(jnp.ones((NF, NF), bool), k=-1)
+    same = fr.ref[:, None] == fr.ref[None, :]
+    rank = jnp.sum(lower & same & cand[None, :] & cand[:, None], axis=1)
+    promote = cand & (rank < deficit[jnp.clip(fr.ref, 0, NG - 1)])
+
+    fr = fr._replace(status=jnp.where(promote, FS_GAUGE, fr.status))
+    # freeze XY covariance of promoted slots
+    slot_mask2 = jnp.zeros((cfg.dims.n_features, 3), bool)
+    tgt = jnp.where(promote, fr.sind, cfg.dims.n_features)
+    slot_mask2 = slot_mask2.at[tgt, 0].set(True)
+    slot_mask2 = slot_mask2.at[tgt, 1].set(True)
+    keep = jnp.ones((cfg.dims.full,), s.P.dtype)
+    keep = keep.at[cfg.dims.feature_begin:].set(
+        jnp.where(slot_mask2.reshape(-1), 0.0, 1.0))
+    P = zero_state_entries(s.P, keep > 0)
+    return s._replace(features=fr, P=P)
+
+
+def _switch_gauge_group(cfg: VIOConfig, s: VIOState) -> VIOState:
+    """SwitchRefGroup (src/estimator.cpp:1362-1391): when the gauge group
+    is lost, pick the instate group with the smallest pose covariance and
+    freeze 4 or 6 of its dof."""
+    gr = s.groups
+    NG = gr.gid.shape[0]
+
+    def pick(s):
+        gr = s.groups
+        goff = L.GROUP_BEGIN + 6 * jnp.clip(gr.sind, 0, cfg.dims.n_groups - 1)
+        diag = jnp.diagonal(s.P)
+
+        def trace6(off):
+            return jax.lax.dynamic_slice(diag, (off,), (6,)).sum()
+
+        tr = jax.vmap(trace6)(goff)
+        tr = jnp.where(gr.instate, tr, jnp.inf)
+        row = jnp.argmax(tr == tr.min()).astype(jnp.int32)
+        gslot = gr.sind[row]
+        off = L.GROUP_BEGIN + 6 * gslot
+        start = jnp.where(cfg.group_degrees_fixed == 4, off + 2, off)
+        n_fix = cfg.group_degrees_fixed
+        idx = start + jnp.arange(6)
+        fix = jnp.arange(6) < n_fix
+        keep = jnp.ones((cfg.dims.full,), s.P.dtype)
+        keep = keep.at[jnp.where(fix, idx, cfg.dims.full)].set(0.0)
+        P = zero_state_entries(s.P, keep > 0)
+        return s._replace(P=P, gauge_row=row)
+
+    has_instate = jnp.any(gr.instate)
+    return jax.lax.cond((s.gauge_row < 0) & has_instate, pick,
+                        lambda s: s, s)
+
+
+def _enforce_max_group_lifetime(cfg: VIOConfig, s: VIOState) -> VIOState:
+    """EnforceMaxGroupLifetime (src/manager.cpp:282-306)."""
+    fr, gr = s.features, s.groups
+    NG = gr.gid.shape[0]
+    is_ref = jnp.zeros((NG,), bool).at[
+        jnp.where(fr.active & (fr.ref >= 0), fr.ref, NG)].set(True)
+    old = gr.active & (gr.lifetime > cfg.max_group_lifetime) & ~is_ref \
+        & ~gr.instate
+    gr = gr._replace(gid=jnp.where(old, -1, gr.gid),
+                     lifetime=jnp.where(old, 0, gr.lifetime))
+    fr = fr._replace(adj=fr.adj & ~old[None, :])
+    return s._replace(features=fr, groups=gr)
+
+
+def _create_group_and_init_tracks(cfg: VIOConfig, s: VIOState) -> VIOState:
+    """End-of-frame group creation + new-track initialization.
+
+    Parity: Group::Create + InitializeJustCreatedTracks +
+    AssociateTrackedFeaturesWithGroup (src/manager.cpp:119-128, 570-627).
+    """
+    fr, gr = s.features, s.groups
+    NG = gr.gid.shape[0]
+    kind = cam_mod.MODEL_IDS[cfg.cam_model]
+    dtype = s.P.dtype
+
+    # Allocate a group row. Policy (graceful version of the reference's
+    # MemoryManager exhaustion fatal, src/mm.cpp:92-98):
+    #   1. a free row, else
+    #   2. the oldest non-instate row nobody references, else
+    #   3. force-evict the oldest non-instate row that IS a reference —
+    #      and drop every feature anchored to it (they lose their anchor).
+    # Never an instate row: those carry EKF state.
+    free = ~gr.active
+    is_ref = jnp.zeros((NG,), bool).at[
+        jnp.where(fr.active & (fr.ref >= 0), fr.ref, NG)].set(True)
+    evictable = gr.active & ~gr.instate & ~is_ref
+    forceable = gr.active & ~gr.instate
+    pick_free = jnp.any(free)
+    pick_evict = jnp.any(evictable)
+    row = jnp.where(
+        pick_free, jnp.argmax(free),
+        jnp.where(pick_evict,
+                  jnp.argmax(jnp.where(evictable, gr.lifetime, -1)),
+                  jnp.argmax(jnp.where(forceable, gr.lifetime, -1)))
+    ).astype(jnp.int32)
+
+    # case 3: orphan + drop features anchored to the victim row
+    forced = ~pick_free & ~pick_evict
+    orphans = fr.active & (fr.ref == row) & forced
+    s = _remove_features_from_state(cfg, s._replace(features=fr, groups=gr),
+                                    orphans)
+    fr = _clear_feature_rows(s.features, orphans)
+    gr = s.groups
+
+    gr = gr._replace(
+        gid=gr.gid.at[row].set(s.next_gid),
+        Rsb=gr.Rsb.at[row].set(s.X.Rsb),
+        Tsb=gr.Tsb.at[row].set(s.X.Tsb),
+        lifetime=gr.lifetime.at[row].set(0),
+        sind=gr.sind.at[row].set(-1),
+    )
+    # stale adjacency to the overwritten row must vanish; a reused gauge
+    # row no longer identifies the gauge group
+    fr = fr._replace(adj=fr.adj.at[:, row].set(False))
+    s = s._replace(gauge_row=jnp.where(row == s.gauge_row, -1, s.gauge_row))
+
+    # new tracks: ref = new group, initialize local state
+    newf = fr.active & (fr.track == TS_CREATED)
+    xc = jax.vmap(lambda xp: cam_mod.unproject(kind, s.cam, xp))(fr.xp)
+    fx = s.cam[0]
+    use_sim = cfg.sim_initialize_depths & (fr.sim_depth > 0)
+    z0 = jnp.where(use_sim, fr.sim_depth, s.init_z)
+    x_init = jnp.concatenate([xc, jnp.log(z0)[:, None]], axis=1)
+
+    if cfg.triangulate_pre_subfilter:
+        # tri happens later (second obs); bad-tri stds apply to all inits
+        stds = jnp.stack([
+            jnp.full((fr.fid.shape[0],), cfg.init_std_x_badtri, dtype) / fx,
+            jnp.full((fr.fid.shape[0],), cfg.init_std_y_badtri, dtype) / fx,
+            jnp.full((fr.fid.shape[0],), cfg.init_std_z_badtri, dtype)],
+            axis=1)
+    else:
+        stds = jnp.stack([
+            jnp.full((fr.fid.shape[0],), cfg.init_std_x, dtype) / fx,
+            jnp.full((fr.fid.shape[0],), cfg.init_std_y, dtype) / fx,
+            jnp.full((fr.fid.shape[0],), cfg.init_std_z, dtype)], axis=1)
+    P_init = jax.vmap(jnp.diag)(stds ** 2)
+
+    fr = fr._replace(
+        ref=jnp.where(newf, row, fr.ref),
+        x=jnp.where(newf[:, None], x_init.astype(dtype), fr.x),
+        Psub=jnp.where(newf[:, None, None], P_init, fr.Psub),
+        status=jnp.where(newf, FS_INITIALIZING, fr.status))
+
+    # adjacency: every live track (tracked or just created) observes the
+    # new group at its current pixel
+    obs = fr.active & ((fr.track == TS_TRACKED) | newf)
+    fr = fr._replace(
+        adj=fr.adj.at[:, row].set(obs),
+        adj_xp=fr.adj_xp.at[:, row, :].set(fr.xp))
+
+    return s._replace(features=fr, groups=gr, next_gid=s.next_gid + 1)
+
+
+def _adapt_initial_depth(cfg: VIOConfig, s: VIOState) -> VIOState:
+    """AdaptInitialDepth (src/manager.cpp:255-278): EMA of median depth."""
+    fr = s.features
+    use = fr.active & ((fr.sind >= 0)
+                       | ((fr.status == FS_READY)
+                          & (fr.lifetime > cfg.adaptive_depth_min_lifetime)))
+    z = jnp.exp(fr.x[:, 2])
+    n = jnp.sum(use.astype(jnp.int32))
+    zs = jnp.sort(jnp.where(use, z, jnp.inf))
+    med = zs[jnp.clip(n // 2, 0, z.shape[0] - 1)]
+    ok = (n > 0) & (med > cfg.min_z) & (med < cfg.max_z)
+    beta = cfg.adaptive_depth_beta
+    new_z = jnp.where(ok, (1.0 - beta) * s.init_z + beta * med, s.init_z)
+    return s._replace(init_z=new_z.astype(s.init_z.dtype))
+
+
+# ---------------------------------------------------------------------------
+# the frame step
+# ---------------------------------------------------------------------------
+
+class StepOutputs(NamedTuple):
+    Rsb: jnp.ndarray
+    Tsb: jnp.ndarray
+    Vsb: jnp.ndarray
+    num_instate_features: jnp.ndarray
+    num_instate_groups: jnp.ndarray
+    num_tracked: jnp.ndarray
+    num_mh_rejected: jnp.ndarray
+    inn_rms: jnp.ndarray
+
+
+def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
+    """The full per-frame filter pipeline after tracker association.
+
+    Mirrors Estimator::UpdateStep (src/manager.cpp:18-167).
+    """
+    s, affected = _process_tracks(cfg, s)
+
+    # admission
+    if cfg.num_gauge_xy_features > 0:
+        s = _admit_groups(cfg, s)
+    s = _admit_features_within_groups(cfg, s)
+
+    # jacobians + MH gating
+    sj = build_stacked_jacobian(cfg, s)
+    dist = mh_distances(s.P, sj.H, sj.inn, cfg.R)
+    n_inst = jnp.sum(sj.valid.astype(jnp.int32))
+
+    if cfg.use_MH_gating:
+        inlier_slots = jnp.where(n_inst > cfg.min_inliers,
+                                 mh_gate(cfg, dist, sj.valid), sj.valid)
+    else:
+        inlier_slots = sj.valid
+    rejected_slots = sj.valid & ~inlier_slots
+    num_rej = jnp.sum(rejected_slots.astype(jnp.int32))
+
+    # rejected features: destroy + mark their groups affected
+    rej_rows_idx = jnp.where(rejected_slots, s.f2row, -1)
+    rej_rows = jnp.zeros((cfg.dims.nf_rows,), bool).at[
+        jnp.where(rej_rows_idx >= 0, rej_rows_idx,
+                  cfg.dims.nf_rows)].set(True)
+    NG = cfg.dims.ng_rows
+    affected = affected.at[
+        jnp.where(rej_rows & (s.features.ref >= 0), s.features.ref, NG)
+    ].set(True)
+    s = _remove_features_from_state(cfg, s, rej_rows)
+    s = s._replace(features=_clear_feature_rows(s.features, rej_rows))
+
+    # group hygiene + gauge maintenance
+    s = _discard_affected_groups(cfg, s, affected)
+    s = _refresh_gauge_features(cfg, s)
+
+    # the EKF update with surviving inliers (rebuilt jacobians: ownership
+    # transfers may have reparametrized features — see SURVEY §7.3 on the
+    # reference's stale-jacobian quirk, which we fix by recomputing)
+    sj2 = build_stacked_jacobian(cfg, s)
+    inlier_now = sj2.valid & inlier_slots
+    diagR = jnp.full((2 * cfg.dims.n_features,), cfg.R, s.P.dtype)
+    err, P = joseph_update(s.P, sj2.H, sj2.inn, diagR, inlier_now)
+    do_upd = jnp.any(inlier_now)
+    err = jnp.where(do_upd, err, 0.0)
+    P = jnp.where(do_upd, P, s.P)
+    s = s._replace(P=P)
+    s = absorb_error(cfg, s, err)
+
+    # post-update bookkeeping
+    s = _create_group_and_init_tracks(cfg, s)
+    s = _adapt_initial_depth(cfg, s)
+    s = _enforce_max_group_lifetime(cfg, s)
+    s = _switch_gauge_group(cfg, s)
+    s = s._replace(vision_counter=s.vision_counter + 1)
+
+    inn_masked = sj2.inn.reshape(-1, 2) * inlier_now[:, None]
+    inn_rms = jnp.sqrt(jnp.sum(inn_masked ** 2)
+                       / jnp.maximum(2 * jnp.sum(inlier_now), 1))
+    out = StepOutputs(
+        Rsb=s.X.Rsb, Tsb=s.X.Tsb, Vsb=s.X.Vsb,
+        num_instate_features=jnp.sum((s.f2row >= 0).astype(jnp.int32)),
+        num_instate_groups=jnp.sum((s.g2row >= 0).astype(jnp.int32)),
+        num_tracked=jnp.sum((s.features.track == TS_TRACKED)
+                            .astype(jnp.int32)),
+        num_mh_rejected=num_rej, inn_rms=inn_rms)
+    return s, out
+
+
+def vio_frame(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel, imu_dt,
+              frame_dt, meas_id, meas_xp, meas_depth, meas_valid):
+    """One full visual frame: IMU scan + propagation to frame time +
+    tracker + update step. This is THE function to jit/scan/vmap."""
+    # IMU samples (masked with dt == 0)
+    def imu_body(s, inp):
+        gy, ac, dt = inp
+        return imu_sample_update(cfg, s, gy, ac, dt), None
+
+    s, _ = jax.lax.scan(imu_body, s, (imu_gyro, imu_accel, imu_dt))
+
+    # propagate to the frame timestamp (visual branch of Propagate)
+    s = jax.lax.cond(frame_dt > 0,
+                     lambda s: propagate_state(cfg, s, frame_dt, True),
+                     lambda s: s, s)
+
+    s = tracker_pointcloud(cfg, s, meas_id, meas_xp, meas_depth, meas_valid)
+    return update_step(cfg, s)

@@ -1,0 +1,216 @@
+"""EKF measurement update: stacked Jacobians, MH gating, Joseph form.
+
+TPU design: the per-feature 2-row Jacobian blocks are computed by one
+``vmap`` over the feature *slots* (fixed count F), scattered into a dense
+H of static shape (2F, D); invalid slots contribute zero rows with unit
+dummy R, which the Joseph form provably ignores (their Kalman-gain
+columns vanish). The update is then three dense matmuls + one Cholesky
+solve — exactly the shape of work the MXU wants, with no dynamic shapes
+anywhere. Parity targets: src/update.cpp, src/estimator.cpp:1257-1288.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import cam as cam_mod
+from ..geom import so3
+from . import layout as L
+from .config import VIOConfig
+from .features import compute_jacobian
+from .retraction import (apply_camera_error, apply_group_error,
+                         apply_motion_error)
+from .state import FS_GAUGE, FS_INSTATE, VIOState
+
+
+class StackedJac(NamedTuple):
+    H: jnp.ndarray        # (2F, D)
+    inn: jnp.ndarray      # (2F,)
+    valid: jnp.ndarray    # (F,) slot validity
+    pred: jnp.ndarray     # (F, 2) predicted pixels per slot
+
+
+def build_stacked_jacobian(cfg: VIOConfig, s: VIOState) -> StackedJac:
+    """Compute Jacobian rows for every occupied feature slot.
+
+    Vectorized version of Estimator::ComputeInstateJacobians
+    (src/update.cpp:24-32) + FillJacobianBlock scatter
+    (src/feature.cpp:658-684; the reference's double-write bug at :675-676
+    is deliberately not reproduced — see SURVEY.md §7.3).
+    """
+    d = cfg.dims
+    D = d.full
+    dtype = s.P.dtype
+    kind = cam_mod.MODEL_IDS[cfg.cam_model]
+
+    fr = s.features
+    gr = s.groups
+
+    def one_slot(slot):
+        row = s.f2row[slot]
+        ok = row >= 0
+        rowc = jnp.maximum(row, 0)
+        x = fr.x[rowc]
+        xp = fr.xp[rowc]
+        gref = jnp.maximum(fr.ref[rowc], 0)
+        Rsbr = gr.Rsb[gref]
+        Tsbr = gr.Tsb[gref]
+        jr = compute_jacobian(kind, s.cam, s.X, Rsbr, Tsbr, x, xp,
+                              s.last_gyro, cfg.online_camera_calib)
+        # mask the temporal blocks if those calibrations are off (their P
+        # rows are zero so they'd be inert anyway; masking keeps S cleaner)
+        Jm = jr.J_motion
+        if not cfg.online_temporal_calib:
+            Jm = Jm.at[:, L.TD].set(0.0)
+            # NOTE: bg/Cg coupling through td vanishes with td fixed at 0
+            # only when td==0; the reference omits these blocks entirely
+            # without temporal calib (src/feature.cpp:593 #ifdef), so the
+            # bg block must revert to zero too (bg still affects the
+            # measurement only through propagation).
+            Jm = Jm.at[:, L.BG:L.BG + 3].set(0.0)
+        if not cfg.online_imu_calib:
+            Jm = Jm.at[:, L.CG:L.CG + 9].set(0.0)
+
+        Hrow = jnp.zeros((2, D), dtype)
+        Hrow = Hrow.at[:, :L.MOTION].set(Jm)
+        Hrow = Hrow.at[:, L.CAM:L.CAM + L.NCAM].set(jr.J_cam)
+        gslot = jnp.maximum(gr.sind[gref], 0)
+        zero = jnp.zeros((), jnp.int32)
+        goff = (L.GROUP_BEGIN + 6 * gslot).astype(jnp.int32)
+        Hrow = jax.lax.dynamic_update_slice(Hrow, jr.J_group, (zero, goff))
+        foff = (d.feature_begin + 3 * slot).astype(jnp.int32)
+        Hrow = jax.lax.dynamic_update_slice(Hrow, jr.J_feat, (zero, foff))
+
+        okf = ok.astype(dtype)
+        return Hrow * okf, jr.inn * okf, ok, jr.xp_pred
+
+    H, inn, valid, pred = jax.vmap(one_slot)(jnp.arange(d.n_features))
+    return StackedJac(H=H.reshape(2 * d.n_features, D),
+                      inn=inn.reshape(2 * d.n_features),
+                      valid=valid, pred=pred)
+
+
+def mh_distances(P, H, inn, R):
+    """Per-slot Mahalanobis distances using 2x2 innovation blocks.
+
+    Mirrors MHGating's per-feature S = J P J^T + R I (src/update.cpp:59-70)
+    — computed for ALL slots in one batched einsum + 2x2 closed-form solve.
+    """
+    F = H.shape[0] // 2
+    HP = H @ P                       # (2F, D)
+    S_full = HP @ H.T                # (2F, 2F)
+    idx = jnp.arange(F)
+    S00 = S_full[2 * idx, 2 * idx] + R
+    S01 = S_full[2 * idx, 2 * idx + 1]
+    S11 = S_full[2 * idx + 1, 2 * idx + 1] + R
+    r0 = inn[2 * idx]
+    r1 = inn[2 * idx + 1]
+    det = S00 * S11 - S01 * S01
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    # r^T S^-1 r in closed form
+    return (S11 * r0 * r0 - 2.0 * S01 * r0 * r1 + S00 * r1 * r1) / det
+
+
+def mh_gate(cfg: VIOConfig, dist, valid):
+    """Threshold relaxation loop of MHGating (src/update.cpp:72-96).
+
+    Returns the inlier slot mask. Vectorized: counts inliers at every
+    relaxed threshold and picks the first threshold admitting at least
+    min_inliers (falling back to the loosest).
+    """
+    ks = jnp.arange(cfg.mh_relax_rounds)
+    threshes = cfg.MH_thresh * cfg.MH_adjust_factor ** ks
+    counts = jnp.sum((dist[None, :] < threshes[:, None]) & valid[None, :],
+                     axis=1)
+    good = counts >= cfg.min_inliers
+    k = jnp.argmax(good)  # first satisfying round
+    k = jnp.where(jnp.any(good), k, cfg.mh_relax_rounds - 1)
+    thresh = cfg.MH_thresh * cfg.MH_adjust_factor ** k
+    return valid & (dist < thresh)
+
+
+def joseph_update(P, H, inn, diagR, row_valid):
+    """Joseph-form EKF update with masked rows.
+
+    Port of Estimator::UpdateJosephForm (src/estimator.cpp:1257-1288):
+    S = H P H^T + R; K^T = S^-1 H P; err = K inn;
+    P <- (KH - I) P (KH - I)^T + K R K^T.
+    Invalid rows carry zero H/inn and R=1, making their K columns zero.
+    """
+    dtype = P.dtype
+    m2 = H.shape[0]
+    rv = jnp.repeat(row_valid, 2).astype(dtype)
+    H = H * rv[:, None]
+    inn = inn * rv
+    diagR = jnp.where(rv > 0, diagR, 1.0)
+
+    HP = H @ P
+    S = HP @ H.T + jnp.diag(diagR)
+    # solve via Cholesky (S symmetric PD by construction)
+    c, lower = jax.scipy.linalg.cho_factor(S, lower=True)
+    Kt = jax.scipy.linalg.cho_solve((c, lower), HP)   # (2F, D)
+    K = Kt.T
+    err = K @ inn
+    IKH = K @ H
+    IKH = IKH - jnp.eye(P.shape[0], dtype=dtype)
+    P_new = IKH @ P @ IKH.T + (K * diagR[None, :]) @ K.T
+    # enforce symmetry against fp drift
+    P_new = 0.5 * (P_new + P_new.T)
+    return err, P_new
+
+
+def absorb_error(cfg: VIOConfig, s: VIOState, err) -> VIOState:
+    """Inject the error estimate into every nominal state.
+
+    Port of Estimator::AbsorbError (src/estimator.cpp:875-921).
+    """
+    d = cfg.dims
+    X = apply_motion_error(s.X, err[:L.MOTION])
+    cam = apply_camera_error(s.cam, err[L.CAM:L.CAM + L.NCAM]) \
+        if cfg.online_camera_calib else s.cam
+
+    gr = s.groups
+    # group poses: scatter err segments to group rows via their slots
+    gerr = err[L.GROUP_BEGIN:L.GROUP_BEGIN + 6 * d.n_groups].reshape(
+        d.n_groups, 6)
+
+    def upd_group(slot, Rsb, Tsb):
+        row = s.g2row[slot]
+        ok = row >= 0
+        rowc = jnp.maximum(row, 0)
+        Rn, Tn = apply_group_error(Rsb[rowc], Tsb[rowc], gerr[slot])
+        Rsb = Rsb.at[rowc].set(jnp.where(ok, Rn, Rsb[rowc]))
+        Tsb = Tsb.at[rowc].set(jnp.where(ok, Tn, Tsb[rowc]))
+        return Rsb, Tsb
+
+    Rsb, Tsb = gr.Rsb, gr.Tsb
+    Rsb, Tsb = jax.lax.fori_loop(
+        0, d.n_groups,
+        lambda i, c: upd_group(i, c[0], c[1]), (Rsb, Tsb))
+    gr = gr._replace(Rsb=Rsb, Tsb=Tsb)
+
+    ferr = err[d.feature_begin:].reshape(d.n_features, 3)
+    fx = s.features.x
+
+    def upd_feat(slot, fx):
+        row = s.f2row[slot]
+        ok = row >= 0
+        rowc = jnp.maximum(row, 0)
+        return fx.at[rowc].set(jnp.where(ok, fx[rowc] + ferr[slot],
+                                         fx[rowc]))
+
+    fx = jax.lax.fori_loop(0, d.n_features, upd_feat, fx)
+    fr = s.features._replace(x=fx)
+    return s._replace(X=X, cam=cam, groups=gr, features=fr)
+
+
+def zero_state_entries(P, keep):
+    """Zero rows+columns of P where keep==False (gauge fixing / slot free).
+
+    The reference's covariance surgery (src/estimator.cpp:753-783,
+    1382-1389) expressed as one masked outer product.
+    """
+    k = keep.astype(P.dtype)
+    return P * (k[:, None] * k[None, :])

@@ -1,0 +1,130 @@
+"""Synthetic IMU simulation with exact ground truth.
+
+Re-implementation of the reference's simulator (scripts/imu_sim.py,
+scripts/imu_trajectories.py): a body trajectory defined by spatial-frame
+acceleration + body-frame angular velocity, integrated on the host with
+scipy (ground truth), sampled into noisy accel/gyro measurements
+(specific force: a_meas = a_body + bias + noise - Rsb^T g).
+
+Host-side numpy by design — data generation is not on the device hot path.
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import numpy as np
+from numpy.random import default_rng
+from scipy.integrate import solve_ivp
+from scipy.interpolate import interp1d
+from scipy.spatial.transform import Rotation
+
+
+def _qdot(q, w):
+    """Quaternion derivative (x,y,z,w convention) for body rates w."""
+    x, y, z, s = q
+    Q = 0.5 * np.array([
+        [s, -z, y],
+        [z, s, -x],
+        [-y, x, s],
+        [-x, -y, -z],
+    ])
+    return Q @ w
+
+
+class IMUSim:
+    """Trajectory with closed-form spatial accel + body gyro rates.
+
+    accel_s_fn(t) -> (3,) spatial acceleration; gyro_fn(t) -> (3,) body
+    angular velocity. Parity: IMUSimBase (scripts/imu_sim.py:203-277).
+    """
+
+    def __init__(self, accel_s_fn: Callable, gyro_fn: Callable,
+                 T: float = 100.0, noise_accel: float = 1e-4,
+                 noise_gyro: float = 1e-5,
+                 bias_accel=np.zeros(3), bias_gyro=np.zeros(3),
+                 seed=None, grav_s=np.array([0.0, 0.0, -9.8]),
+                 init_Vsb=np.zeros(3)):
+        self.accel_s_fn = accel_s_fn
+        self.gyro_fn = gyro_fn
+        self.noise_accel = noise_accel
+        self.noise_gyro = noise_gyro
+        self.bias_accel = np.asarray(bias_accel, float)
+        self.bias_gyro = np.asarray(bias_gyro, float)
+        self.rng = default_rng(seed)
+        self.grav_s = np.asarray(grav_s, float)
+        self.T = T
+
+        def dX_dt(t, X):
+            q = X[:4]
+            V = X[7:10]
+            dq = _qdot(q / np.linalg.norm(q), self.gyro_fn(t))
+            return np.concatenate([dq, V, self.accel_s_fn(t)])
+
+        ic = np.concatenate([[0, 0, 0, 1.0], np.zeros(3), init_Vsb])
+        out = solve_ivp(dX_dt, [0, T], ic, t_eval=np.arange(0.0, T, 0.001),
+                        rtol=1e-10, atol=1e-10)
+        self.t = out.t
+        self._interp = interp1d(out.t, out.y, fill_value="extrapolate")
+
+    def gsb(self, t) -> Tuple[np.ndarray, np.ndarray]:
+        X = self._interp(t)
+        q = X[:4] / np.linalg.norm(X[:4])
+        return Rotation.from_quat(q).as_matrix(), X[4:7]
+
+    def Vsb(self, t) -> np.ndarray:
+        return self._interp(t)[7:10]
+
+    def meas(self, t) -> Tuple[np.ndarray, np.ndarray]:
+        """Noisy (accel, gyro) measurement at time t."""
+        Rsb, _ = self.gsb(t)
+        accel_b = Rsb.T @ self.accel_s_fn(t)
+        gyro = self.gyro_fn(t)
+        a = (accel_b + self.noise_accel * self.rng.standard_normal(3)
+             + self.bias_accel - Rsb.T @ self.grav_s)
+        g = (gyro + self.noise_gyro * self.rng.standard_normal(3)
+             + self.bias_gyro)
+        return a, g
+
+
+def _small_gyro(t):
+    return np.array([0.01 * np.sin(0.3 * t), 0.01 * np.cos(0.4 * t),
+                     0.01 * np.sin(0.1 * t)])
+
+
+def get_imu_sim(motion_type: str = "lissajous", **kw) -> IMUSim:
+    """Named trajectories with the reference's closed forms
+    (scripts/imu_trajectories.py:289-341)."""
+    if motion_type == "lissajous":
+        def accel_s(t):
+            return np.array([-36 * np.cos(3 * t), -4.9 * np.sin(7 * t),
+                             -16 * np.sin(2 * t)])
+        kw.setdefault("init_Vsb", np.array([0.0, 0.7, 8.0]))
+        return IMUSim(accel_s, _small_gyro, **kw)
+    if motion_type == "trefoil":
+        def accel_s(t):
+            ax = (12 * np.sin(2 * t) * np.sin(3 * t)
+                  - 9 * np.cos(2 * t) * np.cos(3 * t)
+                  - 4 * np.cos(2 * t) * (np.cos(3 * t) + 4))
+            ay = (-4 * np.sin(2 * t) * (np.cos(3 * t) + 4)
+                  - 12 * np.cos(2 * t) * np.sin(3 * t)
+                  - 9 * np.cos(3 * t) * np.sin(2 * t))
+            az = -9.0 * np.sin(3 * t)
+            return np.array([ax, ay, az])
+        kw.setdefault("init_Vsb", np.array([0.0, 10.0, 3.0]))
+        return IMUSim(accel_s, _small_gyro, **kw)
+    if motion_type == "gentle":
+        # a slow, well-excited trajectory that STARTS AT REST (matching the
+        # reference's pose-interpolation sims and the X.Vsb=[0,0,0] config
+        # convention of cfg/pcw.json): sine-only accelerations integrate to
+        # zero initial velocity.
+        def accel_s(t):
+            return np.array([0.45 * np.sin(0.9 * t),
+                             -0.60 * np.sin(0.7 * t),
+                             0.35 * np.sin(1.1 * t)])
+
+        def gyro(t):
+            return np.array([0.12 * np.sin(0.4 * t), 0.10 * np.sin(0.5 * t),
+                             0.08 * np.sin(0.3 * t)])
+        kw.setdefault("init_Vsb", np.zeros(3))
+        return IMUSim(accel_s, gyro, **kw)
+    raise ValueError(f"unknown motion type {motion_type}")
