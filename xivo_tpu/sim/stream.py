@@ -1,0 +1,68 @@
+"""Build packed frame-input streams from the simulator (bench/test glue)."""
+from __future__ import annotations
+
+import numpy as np
+
+from ..filter.config import VIOConfig
+from ..runner import FrameInputs, pack_frame_inputs
+from .imu_sim import IMUSim, get_imu_sim
+from .pcw import RandomPCW
+
+
+def build_pcw_stream(cfg: VIOConfig, total_time=10.0, imu_dt=0.01,
+                     vision_dt=0.05, motion="gentle", n_points=600,
+                     noise_px=0.5, noise_accel=1e-4, noise_gyro=1e-5,
+                     seed=1, world_seed=0, imu_cap=32, meas_cap=256):
+    """Simulate and pack one sequence. Returns (FrameInputs, gt dict)."""
+    imu = get_imu_sim(motion, T=total_time + 1.0, noise_accel=noise_accel,
+                      noise_gyro=noise_gyro, seed=seed)
+    pcw = RandomPCW([-10, 10], [-10, 10], [-5, 5], n_points=n_points,
+                    seed=world_seed)
+    rows, cols = int(cfg.cam_params[0]), int(cfg.cam_params[1])
+    fx, fy, cx, cy = cfg.cam_params[2:6]
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    import jax.numpy as jnp
+    from ..geom import so3
+    Rbc = np.asarray(so3.exp(jnp.asarray(cfg.X_Wbc)))
+    Tbc = np.asarray(cfg.X_Tbc)
+
+    t_imu = np.arange(0, total_time, imu_dt)
+    t_vis = np.arange(0, total_time, vision_dt)
+
+    frames = []
+    gt = {"t": [], "Rsb": [], "Tsb": [], "Vsb": []}
+    pending = []
+    t_prev = 0.0
+    ii = 0
+    for tv in t_vis:
+        while ii < len(t_imu) and t_imu[ii] <= tv:
+            t = t_imu[ii]
+            if t == 0.0:
+                ii += 1
+                continue  # the t=0 sample seeds the state, no propagation
+            a, g = imu.meas(t)
+            pending.append((t - t_prev, g, a))
+            t_prev = t
+            ii += 1
+        Rsb, Tsb = imu.gsb(tv)
+        Rsc = Rsb @ Rbc
+        Tsc = Rsb @ Tbc + Tsb
+        ids, xpd = pcw.generate_measurements(Rsc, Tsc, K, cols, rows,
+                                             noise_px)
+        frames.append(dict(imu=pending, frame_dt=max(tv - t_prev, 0.0),
+                           ids=ids, xp=xpd[:, :2], depth=xpd[:, 2]))
+        pending = []
+        t_prev = tv
+        gt["t"].append(tv)
+        gt["Rsb"].append(Rsb)
+        gt["Tsb"].append(Tsb)
+        gt["Vsb"].append(imu.Vsb(tv))
+
+    dtype = np.float32 if cfg.dtype == "float32" else np.float64
+    fi = pack_frame_inputs(frames, imu_cap=imu_cap, meas_cap=meas_cap,
+                           dtype=dtype)
+    gt = {k: np.asarray(v) for k, v in gt.items()}
+    # seed sample for state.last_gyro/accel
+    a0, g0 = imu.meas(0.0)
+    gt["gyro0"], gt["accel0"] = g0, a0
+    return fi, gt
