@@ -13,6 +13,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+# EKF covariance algebra needs true fp32 matmuls; the TPU default
+# (bfloat16 passes) destroys the conditioning of P
+jax.config.update("jax_default_matmul_precision", "float32")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,8 +28,8 @@ from tests.test_e2e_pcw import PCW_CFG
 
 
 def main():
-    B = int(os.environ.get("BENCH_BATCH", "16"))
-    total_time = float(os.environ.get("BENCH_SECONDS", "10.0"))
+    B = int(os.environ.get("BENCH_BATCH", "32"))
+    total_time = float(os.environ.get("BENCH_SECONDS", "5.0"))
 
     cfg = config_from_json(PCW_CFG, dtype="float32",
                            sim_initialize_depths=True)
@@ -51,7 +56,7 @@ def main():
     err = np.linalg.norm(np.asarray(outs.Tsb)[0] - gt["Tsb"], axis=1)
     rmse = float(np.sqrt(np.mean(err ** 2)))
 
-    reps = 3
+    reps = 2
     t0 = time.perf_counter()
     for _ in range(reps):
         s, outs = run(fresh_states(), fib)

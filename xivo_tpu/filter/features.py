@@ -99,9 +99,8 @@ def compute_jacobian(cam_kind: int, intrin, X, Rsbr, Tsbr, x, xp_meas,
     dXcn_dtd = -Rbc_t @ (so3.hat(gyro_calib) @ Rsb_t @ (Xs - Tsb)
                          + Rsb_t @ X.Vsb)
     dXcn_dW = so3.dAB_dB(Rbc_t @ so3.hat(Rsb_t @ (Xs - Tsb)) * X.td, 3, 1)
-    dW_dCg = jnp.zeros((3, 9), x.dtype)
-    for i in range(3):
-        dW_dCg = dW_dCg.at[i, 3 * i:3 * i + 3].set(gyro)
+    dW_dCg = (jnp.eye(3, dtype=x.dtype)[:, :, None]
+              * gyro[None, None, :]).reshape(3, 9)
     dXcn_dCg = dXcn_dW @ dW_dCg
     dXcn_dbg = -dXcn_dW
 

@@ -335,6 +335,37 @@ def _add_group_to_state_P(cfg: VIOConfig, P, gslot):
     return P
 
 
+def _refine_candidate_depths(cfg: VIOConfig, s: VIOState) -> VIOState:
+    """use_depth_opt: GN-refine candidate depths before admission; destroy
+    candidates that fail (src/manager.cpp:386-404)."""
+    from .refine import refine_depth
+
+    fr, gr = s.features, s.groups
+    NG = gr.gid.shape[0]
+    kind = cam_mod.MODEL_IDS[cfg.cam_model]
+    cand = _candidate_mask(cfg, s)
+    grow = jnp.clip(fr.ref, 0, NG - 1)
+    ref_oh = jax.nn.one_hot(grow, NG, dtype=bool)
+    obs_mask = fr.adj & ~ref_oh & gr.active[None, :]
+    multi = jnp.sum(obs_mask, axis=1) >= 1
+    do = cand & multi
+
+    def one(Rsbr, Tsbr, om, oxp, x0, P0):
+        return refine_depth(kind, s.cam, s.X, Rsbr, Tsbr, gr.Rsb, gr.Tsb,
+                            om, oxp, x0, P0, cfg.refinement)
+
+    xn, Pn, ok = jax.vmap(one)(gr.Rsb[grow], gr.Tsb[grow], obs_mask,
+                               fr.adj_xp, fr.x, fr.Psub)
+
+    good = do & ok
+    bad = do & ~ok
+    fr = fr._replace(
+        x=jnp.where(good[:, None], xn, fr.x),
+        Psub=jnp.where(good[:, None, None], Pn, fr.Psub))
+    fr = _clear_feature_rows(fr, bad)
+    return s._replace(features=fr)
+
+
 def _candidate_mask(cfg: VIOConfig, s: VIOState):
     fr = s.features
     strict = s.vision_counter >= cfg.strict_criteria_timesteps
@@ -483,6 +514,68 @@ def _discard_affected_groups(cfg: VIOConfig, s: VIOState, affected):
                      lifetime=jnp.where(discard, 0, gr.lifetime))
     fr = s.features._replace(adj=s.features.adj & ~discard[None, :])
     return s._replace(groups=gr, features=fr)
+
+
+def _one_pt_ransac(cfg: VIOConfig, s: VIOState, inlier_slots):
+    """Low-innovation partial update + chi-square rescue of the rest.
+
+    Port of Estimator::OnePointRANSAC (src/update.cpp:213-393). Note the
+    reference's hypothesis loop never applies the sampled hypothesis to
+    the state (the per-iteration inlier set is identical), so the
+    effective algorithm — reproduced here — is: (1) split MH inliers
+    into low-/high-innovation sets against the current prediction;
+    (2) EKF-update a COPY of the state with low-innovation rows only
+    (unobservable rows zeroed); (3) re-evaluate the high-innovation
+    features against the updated state and rescue those passing the
+    chi-square gate; (4) discard the rest, keep the original state.
+
+    Returns (state, final_inlier_slots) — rejected features destroyed.
+    """
+    d = cfg.dims
+    sj = build_stacked_jacobian(cfg, s)
+    inn2 = sj.inn.reshape(-1, 2)
+    res_norm = jnp.linalg.norm(inn2, axis=1)
+    li = inlier_slots & sj.valid & (res_norm < cfg.ransac_thresh)
+    hi = inlier_slots & sj.valid & ~li
+
+    def with_ransac(s_and_masks):
+        s, li, hi = s_and_masks
+        fr, gr = s.features, s.groups
+        NGR = gr.gid.shape[0]
+        # groups owning at least one low-innovation inlier
+        li_rows = jnp.zeros((d.nf_rows,), bool).at[
+            jnp.where(li, s.f2row, d.nf_rows)].set(True)
+        g_with_li = jnp.zeros((NGR,), bool).at[
+            jnp.where(li_rows & (fr.ref >= 0), fr.ref, NGR)].set(True)
+
+        # unobservable-direction guard: zero covariance of non-li feature
+        # slots and of instate groups with no li feature (plus a temporary
+        # reference group if the gauge group has none)
+        keepf = _feature_keep_vector(
+            cfg, (s.f2row >= 0) & ~li, s.P.dtype)
+        gslot_zero = jnp.zeros((d.n_groups,), bool)
+        grow_of_slot = jnp.clip(s.g2row, 0, NGR - 1)
+        g_noli = (s.g2row >= 0) & ~g_with_li[grow_of_slot]
+        keepg = _group_keep_vector(cfg, g_noli, s.P.dtype)
+        P_li = zero_state_entries(s.P, (keepf * keepg) > 0)
+
+        diagR = jnp.full((2 * d.n_features,), cfg.R, s.P.dtype)
+        err, P_upd = joseph_update(P_li, sj.H, sj.inn, diagR, li)
+        s_upd = absorb_error(cfg, s._replace(P=P_upd), err)
+
+        # re-evaluate high-innovation features on the updated state
+        sj2 = build_stacked_jacobian(cfg, s_upd)
+        dist2 = mh_distances(s_upd.P, sj2.H, sj2.inn, cfg.R)
+        rescued = hi & (dist2 < cfg.ransac_Chi2)
+        return rescued
+
+    any_hi = jnp.any(hi)
+    all_li = ~any_hi
+    rescued = jax.lax.cond(any_hi, with_ransac,
+                           lambda sm: jnp.zeros_like(hi), (s, li, hi))
+    final = jnp.where(all_li, inlier_slots, li | rescued)
+    rejected = inlier_slots & sj.valid & ~final
+    return s, final, rejected
 
 
 def _refresh_gauge_features(cfg: VIOConfig, s: VIOState) -> VIOState:
@@ -702,6 +795,8 @@ def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
     s, affected = _process_tracks(cfg, s)
 
     # admission
+    if cfg.use_depth_opt:
+        s = _refine_candidate_depths(cfg, s)
     if cfg.num_gauge_xy_features > 0:
         s = _admit_groups(cfg, s)
     s = _admit_features_within_groups(cfg, s)
@@ -734,6 +829,21 @@ def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
     # group hygiene + gauge maintenance
     s = _discard_affected_groups(cfg, s, affected)
     s = _refresh_gauge_features(cfg, s)
+
+    if cfg.use_1pt_RANSAC:
+        s, inlier_slots, ransac_rej = _one_pt_ransac(cfg, s, inlier_slots)
+        rej_rows_idx = jnp.where(ransac_rej, s.f2row, -1)
+        rej_rows = jnp.zeros((cfg.dims.nf_rows,), bool).at[
+            jnp.where(rej_rows_idx >= 0, rej_rows_idx,
+                      cfg.dims.nf_rows)].set(True)
+        affected2 = jnp.zeros((NG,), bool).at[
+            jnp.where(rej_rows & (s.features.ref >= 0), s.features.ref, NG)
+        ].set(True)
+        num_rej = num_rej + jnp.sum(ransac_rej.astype(jnp.int32))
+        s = _remove_features_from_state(cfg, s, rej_rows)
+        s = s._replace(features=_clear_feature_rows(s.features, rej_rows))
+        s = _discard_affected_groups(cfg, s, affected2)
+        s = _refresh_gauge_features(cfg, s)
 
     # the EKF update with surviving inliers (rebuilt jacobians: ownership
     # transfers may have reparametrized features — see SURVEY §7.3 on the

@@ -65,9 +65,11 @@ def motion_jacobians(X: MotionState, gyro, accel, g, dtype):
     # we use the exact form.
     dV_dWsg = -X.Rsg @ so3.hat(g)
     F = F.at[L.VSB:L.VSB + 3, L.WSG:L.WSG + 2].set(dV_dWsg[:, :2])
-    # dW/dCg: row i gets `gyro` at columns 3i..3i+2 (raw measurement!)
-    for i in range(3):
-        F = F.at[L.WSB + i, L.CG + 3 * i:L.CG + 3 * i + 3].set(gyro)
+    # dW/dCg: row i gets `gyro` at columns 3i..3i+2 (raw measurement!) —
+    # built as one kron-style einsum, not a scatter loop
+    dW_dCg = (jnp.eye(3, dtype=dtype)[:, :, None]
+              * gyro[None, None, :]).reshape(3, 9)
+    F = F.at[L.WSB:L.WSB + 3, L.CG:L.CG + 9].set(dW_dCg)
     # dV/dCa = dAB_dA(accel) @ dAB_dB(Rsb) @ dA_dAu
     dV_dRCa = so3.dAB_dA(accel[:, None], 3, 3)          # (3, 9)
     dRCa_dCafm = so3.dAB_dB(Rsb, 3, 3)                  # (9, 9)

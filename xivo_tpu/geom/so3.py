@@ -140,24 +140,22 @@ def right_jacobian(w):
 def dAB_dA(B, m: int, n: int):
     """d vec_r(A@B) / d vec_r(A) for A (m x n), B (n x p); row-major vec.
 
-    Returns (m*p, m*n). Mirrors ``dAB_dA`` in ``common/rodrigues.h``.
+    Returns (m*p, m*n) == kron(I_m, B^T) — built as one einsum so it
+    lowers to a single kernel (this runs inside the propagation hot loop).
+    Mirrors ``dAB_dA`` in ``common/rodrigues.h``.
     """
     p = B.shape[-1]
-    out = jnp.zeros((m * p, m * n), dtype=B.dtype)
-    for i in range(m):
-        out = out.at[i * p:(i + 1) * p, i * n:(i + 1) * n].set(B.T)
-    return out
+    eye = jnp.eye(m, dtype=B.dtype)
+    out = jnp.einsum("ik,pn->ipkn", eye, jnp.swapaxes(B, -1, -2))
+    return out.reshape(m * p, m * n)
 
 
 def dAB_dB(A, n: int, p: int):
-    """d vec_r(A@B) / d vec_r(B) for A (m x n), B (n x p); row-major vec."""
+    """d vec_r(A@B) / d vec_r(B) == kron(A, I_p); single-kernel build."""
     m = A.shape[-2]
-    out = jnp.zeros((m * p, n * p), dtype=A.dtype)
-    for i in range(m):
-        for j in range(n):
-            out = out.at[i * p:(i + 1) * p, j * p:(j + 1) * p].set(
-                A[i, j] * jnp.eye(p, dtype=A.dtype))
-    return out
+    eye = jnp.eye(p, dtype=A.dtype)
+    out = jnp.einsum("ij,kl->ikjl", A, eye)
+    return out.reshape(m * p, n * p)
 
 
 def dA_dAu(dtype=jnp.float32):
