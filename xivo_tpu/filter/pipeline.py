@@ -889,9 +889,18 @@ def vio_frame(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel, imu_dt,
 
     s, _ = jax.lax.scan(imu_body, s, (imu_gyro, imu_accel, imu_dt))
 
-    # propagate to the frame timestamp (visual branch of Propagate)
-    s = jax.lax.cond(frame_dt > 0,
-                     lambda s: propagate_state(cfg, s, frame_dt, True),
+    # propagate to the frame timestamp (visual branch of Propagate).
+    # With online temporal calibration the effective frame time shifts by
+    # the CURRENT td estimate relative to the shift already applied — the
+    # in-graph equivalent of the reference's host-side ts += td
+    # (src/estimator.cpp:943-951).
+    if cfg.online_temporal_calib:
+        dt_eff = jnp.maximum(frame_dt + s.X.td - s.td_applied, 0.0)
+        s = s._replace(td_applied=s.X.td.astype(s.td_applied.dtype))
+    else:
+        dt_eff = frame_dt
+    s = jax.lax.cond(dt_eff > 0,
+                     lambda s: propagate_state(cfg, s, dt_eff, True),
                      lambda s: s, s)
 
     s = tracker_pointcloud(cfg, s, meas_id, meas_xp, meas_depth, meas_valid)

@@ -113,6 +113,10 @@ class VIOState(NamedTuple):
     last_accel: jnp.ndarray
     slope_gyro: jnp.ndarray
     slope_accel: jnp.ndarray
+    td_applied: jnp.ndarray      # () temporal offset already absorbed into
+                                 # the propagation timeline (the scan-mode
+                                 # equivalent of the reference's host-side
+                                 # ts += td shift, src/estimator.cpp:943-951)
     vision_counter: jnp.ndarray  # () int32
     next_gid: jnp.ndarray        # () int32 — monotonically increasing group id
     next_fid: jnp.ndarray        # () int32 — id source for tracker-made features
@@ -212,6 +216,7 @@ def init_state(cfg: VIOConfig, key=None) -> VIOState:
         init_z=jnp.asarray(cfg.init_z, dt),
         last_gyro=jnp.zeros(3, dt), last_accel=jnp.zeros(3, dt),
         slope_gyro=jnp.zeros(3, dt), slope_accel=jnp.zeros(3, dt),
+        td_applied=jnp.asarray(cfg.X_td, dt),
         vision_counter=jnp.asarray(0, jnp.int32),
         next_gid=jnp.asarray(0, jnp.int32),
         next_fid=jnp.asarray(0, jnp.int32),

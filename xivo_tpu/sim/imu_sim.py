@@ -127,4 +127,18 @@ def get_imu_sim(motion_type: str = "lissajous", **kw) -> IMUSim:
                              0.08 * np.sin(0.3 * t)])
         kw.setdefault("init_Vsb", np.zeros(3))
         return IMUSim(accel_s, gyro, **kw)
+    if motion_type == "calib_rich":
+        # rotation-rich excitation for observability of camera-IMU
+        # extrinsics / IMU intrinsics / time offset (the role of the
+        # reference's calib_traj pose script); starts at rest
+        def accel_s(t):
+            return np.array([0.8 * np.sin(1.3 * t),
+                             -0.9 * np.sin(1.1 * t),
+                             0.7 * np.sin(1.7 * t)])
+
+        def gyro(t):
+            return np.array([0.8 * np.sin(0.9 * t), 0.7 * np.sin(1.2 * t),
+                             0.6 * np.sin(0.7 * t)])
+        kw.setdefault("init_Vsb", np.zeros(3))
+        return IMUSim(accel_s, gyro, **kw)
     raise ValueError(f"unknown motion type {motion_type}")

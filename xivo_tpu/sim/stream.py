@@ -12,8 +12,21 @@ from .pcw import RandomPCW
 def build_pcw_stream(cfg: VIOConfig, total_time=10.0, imu_dt=0.01,
                      vision_dt=0.05, motion="gentle", n_points=600,
                      noise_px=0.5, noise_accel=1e-4, noise_gyro=1e-5,
-                     seed=1, world_seed=0, imu_cap=32, meas_cap=256):
-    """Simulate and pack one sequence. Returns (FrameInputs, gt dict)."""
+                     seed=1, world_seed=0, imu_cap=32, meas_cap=256,
+                     true_Rbc=None, true_Tbc=None, true_Cg=None,
+                     true_Ca=None, true_td=0.0):
+    """Simulate and pack one sequence. Returns (FrameInputs, gt dict).
+
+    The ``true_*`` arguments inject ground-truth calibration that may
+    differ from the config's initial guesses — the test harness for the
+    online self-calibration states (cf. cfg/phab_calibration.json and the
+    USE_ONLINE_*_CALIB flags of the reference):
+      * true_Rbc/true_Tbc — actual camera-body extrinsics used to render.
+      * true_Cg/true_Ca — raw IMU measurements are premultiplied by the
+        inverses (model: calibrated = C @ raw - bias).
+      * true_td — images render the scene at (t + true_td) but carry
+        timestamp t (camera clock lags the IMU clock by td).
+    """
     imu = get_imu_sim(motion, T=total_time + 1.0, noise_accel=noise_accel,
                       noise_gyro=noise_gyro, seed=seed)
     pcw = RandomPCW([-10, 10], [-10, 10], [-5, 5], n_points=n_points,
@@ -23,8 +36,12 @@ def build_pcw_stream(cfg: VIOConfig, total_time=10.0, imu_dt=0.01,
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
     import jax.numpy as jnp
     from ..geom import so3
-    Rbc = np.asarray(so3.exp(jnp.asarray(cfg.X_Wbc)))
-    Tbc = np.asarray(cfg.X_Tbc)
+    Rbc = np.asarray(true_Rbc) if true_Rbc is not None \
+        else np.asarray(so3.exp(jnp.asarray(cfg.X_Wbc)))
+    Tbc = np.asarray(true_Tbc) if true_Tbc is not None \
+        else np.asarray(cfg.X_Tbc)
+    Cg_inv = np.linalg.inv(true_Cg) if true_Cg is not None else None
+    Ca_inv = np.linalg.inv(true_Ca) if true_Ca is not None else None
 
     t_imu = np.arange(0, total_time, imu_dt)
     t_vis = np.arange(0, total_time, vision_dt)
@@ -41,10 +58,14 @@ def build_pcw_stream(cfg: VIOConfig, total_time=10.0, imu_dt=0.01,
                 ii += 1
                 continue  # the t=0 sample seeds the state, no propagation
             a, g = imu.meas(t)
+            if Cg_inv is not None:
+                g = Cg_inv @ g
+            if Ca_inv is not None:
+                a = Ca_inv @ a
             pending.append((t - t_prev, g, a))
             t_prev = t
             ii += 1
-        Rsb, Tsb = imu.gsb(tv)
+        Rsb, Tsb = imu.gsb(tv + true_td)
         Rsc = Rsb @ Rbc
         Tsc = Rsb @ Tbc + Tsb
         ids, xpd = pcw.generate_measurements(Rsc, Tsc, K, cols, rows,
