@@ -1,0 +1,180 @@
+"""Out-of-state (MSCKF-style) measurement update.
+
+The reference carries the full machinery (src/oos.cpp: per-observation
+Hx/Hf blocks, left-nullspace projection of the landmark Jacobian via
+Givens/SlowGivens) but hard-faults when enabled
+(src/estimator.cpp:120-122). Here it is first-class, as the north star
+requires: features dropped by the tracker WITHOUT ever entering the
+state still contribute their multi-view geometry — the classic MSCKF
+update at marginalization time.
+
+TPU shape: each candidate feature produces a fixed (2G, D) Jacobian
+over the instate group slots (masked rows for slots that did not
+observe it), the landmark direction is eliminated with one complete-QR
+nullspace projection (jnp.linalg.qr replaces the reference's Givens
+sweeps — same algebra, one fused kernel), and all surviving rows join a
+single Joseph update with R = oos_meas_std^2.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import cam as cam_mod
+from ..geom import so3
+from . import layout as L
+from .config import VIOConfig
+from .features import project_persp, unproject_logz
+from .state import VIOState
+
+OOS_FEATURE_CAP = 8   # max dropped features per frame given an OOS update
+
+
+def _oos_rows_for_feature(cfg: VIOConfig, s: VIOState, row):
+    """Build nullspace-projected OOS rows for one feature table row.
+
+    Returns (Ho (2G, D), inn (2G,), row_valid (2G,)) — after projection
+    at most 2m-3 rows are nonzero for m observations.
+    """
+    d = cfg.dims
+    G = d.n_groups
+    D = d.full
+    dtype = s.P.dtype
+    kind = cam_mod.MODEL_IDS[cfg.cam_model]
+    fr, gr = s.features, s.groups
+    NG = gr.gid.shape[0]
+
+    rowc = jnp.maximum(row, 0)
+    x = fr.x[rowc]
+    gref = jnp.clip(fr.ref[rowc], 0, NG - 1)
+    # landmark position from the subfilter estimate (cf. oos.cpp:17)
+    Xc, _ = unproject_logz(x)
+    Rsc_ref = gr.Rsb[gref] @ s.X.Rbc
+    Xs = Rsc_ref @ Xc + gr.Rsb[gref] @ s.X.Tbc + gr.Tsb[gref]
+
+    Rbc_t = s.X.Rbc.T
+
+    def per_slot(j):
+        grow = s.g2row[j]
+        ok = grow >= 0
+        growc = jnp.maximum(grow, 0)
+        seen = fr.adj[rowc, growc] & ok
+        Rg = gr.Rsb[growc]
+        Tg = gr.Tsb[growc]
+        xp_obs = fr.adj_xp[rowc, growc]
+
+        Xb = Rg.T @ (Xs - Tg)
+        Xcn = Rbc_t @ (Xb - s.X.Tbc)
+        good = seen & (Xcn[2] > 1e-6)
+        Xcn_s = jnp.where(good, Xcn, jnp.array([0.0, 0.0, 1.0], dtype))
+        xcn, dxcn_dXcn = project_persp(Xcn_s)
+        xp_pred, dxp_dxcn, _ = cam_mod.project_with_jac(kind, s.cam, xcn)
+        dxp_dXcn = dxp_dxcn @ dxcn_dXcn
+
+        dXcn_dXb = Rbc_t
+        Hf = dxp_dXcn @ dXcn_dXb @ Rg.T                       # w.r.t. Xs
+        HW = dxp_dXcn @ dXcn_dXb @ so3.hat(Xb)                # group W
+        HT = dxp_dXcn @ dXcn_dXb @ (-Rg.T)                    # group T
+        HWbc = dxp_dXcn @ so3.hat(Xcn_s)
+        HTbc = dxp_dXcn @ (-Rbc_t)
+
+        Hx = jnp.zeros((2, D), dtype)
+        goff = L.GROUP_BEGIN + 6 * j                          # static!
+        Hx = Hx.at[:, goff:goff + 3].set(HW)
+        Hx = Hx.at[:, goff + 3:goff + 6].set(HT)
+        Hx = Hx.at[:, L.WBC:L.WBC + 3].set(HWbc)
+        Hx = Hx.at[:, L.TBC:L.TBC + 3].set(HTbc)
+        inn = xp_obs - xp_pred
+        w = good.astype(dtype)
+        return Hx * w, Hf * w, inn * w, good
+
+    Hx, Hf, inn, good = [], [], [], []
+    for j in range(G):   # static unroll over group slots
+        a, b, c, g = per_slot(j)
+        Hx.append(a)
+        Hf.append(b)
+        inn.append(c)
+        good.append(g)
+    Hx = jnp.concatenate(Hx)            # (2G, D)
+    Hf = jnp.concatenate(Hf)            # (2G, 3)
+    inn = jnp.concatenate(inn)          # (2G,)
+    nobs = jnp.sum(jnp.stack(good).astype(jnp.int32))
+
+    # left-nullspace projection of Hf: A = Q[:, 3:] of complete QR
+    Q, _ = jnp.linalg.qr(Hf, mode="complete")  # (2G, 2G)
+    A = Q[:, 3:]
+    Ho = A.T @ Hx                      # (2G-3, D)
+    inn_o = A.T @ inn
+    # valid rows: nonzero projected Jacobian + enough observations
+    enough = nobs >= cfg.OOS_min_observations
+    rownorm = jnp.linalg.norm(Ho, axis=1)
+    valid = (rownorm > 1e-10) & enough
+    Ho = jnp.where(valid[:, None], Ho, 0.0)
+    inn_o = jnp.where(valid, inn_o, 0.0)
+    # pad back to 2G rows for a static stack
+    pad = jnp.zeros((3, Ho.shape[1]), dtype)
+    return (jnp.concatenate([Ho, pad]),
+            jnp.concatenate([inn_o, jnp.zeros((3,), dtype)]),
+            jnp.concatenate([valid, jnp.zeros((3,), bool)]))
+
+
+def oos_update(cfg: VIOConfig, s: VIOState, candidate_rows) -> VIOState:
+    """Joint MSCKF update over up to OOS_FEATURE_CAP candidate features."""
+    from .update import joseph_update
+    from .pipeline import _rank_assign  # shared slot-assignment helper
+
+    d = cfg.dims
+    fr, gr = s.features, s.groups
+    NF = fr.fid.shape[0]
+    NG = gr.gid.shape[0]
+
+    obs_in_state = fr.adj & gr.instate[None, :]
+    nobs = jnp.sum(obs_in_state, axis=1)
+    cand = candidate_rows & (nobs >= cfg.OOS_min_observations)
+
+    slot_of_row, got = _rank_assign(
+        jnp.ones((OOS_FEATURE_CAP,), bool), cand,
+        -nobs.astype(s.P.dtype))
+    # row chosen for each OOS slot
+    row_of_slot = jnp.full((OOS_FEATURE_CAP,), -1, jnp.int32).at[
+        jnp.where(got, slot_of_row, OOS_FEATURE_CAP)].set(
+        jnp.arange(NF, dtype=jnp.int32))
+
+    def one(slotrow):
+        ok = slotrow >= 0
+        Ho, inn_o, valid = _oos_rows_for_feature(cfg, s, slotrow)
+        return Ho * ok, inn_o * ok, valid & ok
+
+    Ho, inn_o, valid = jax.vmap(one)(row_of_slot)
+    R2G = Ho.shape[1]
+    Ho = Ho.reshape(OOS_FEATURE_CAP * R2G, d.full)
+    inn_o = inn_o.reshape(-1)
+    valid = valid.reshape(-1)
+
+    Roos = cfg.oos_meas_std ** 2
+    diagR = jnp.full(Ho.shape[0], Roos, s.P.dtype)
+    # joseph_update expects per-2-row validity; OOS rows are single
+    rv = valid
+    dtype = s.P.dtype
+    Hm = Ho * rv[:, None].astype(dtype)
+    innm = inn_o * rv.astype(dtype)
+    diagRm = jnp.where(rv, diagR, 1.0)
+
+    HP = Hm @ s.P
+    S = HP @ Hm.T + jnp.diag(diagRm)
+    c, lower = jax.scipy.linalg.cho_factor(S, lower=True)
+    Kt = jax.scipy.linalg.cho_solve((c, lower), HP)
+    K = Kt.T
+    err = K @ innm
+    IKH = K @ Hm - jnp.eye(d.full, dtype=dtype)
+    P = IKH @ s.P @ IKH.T + (K * diagRm[None, :]) @ K.T
+    P = 0.5 * (P + P.T)
+
+    do = jnp.any(rv)
+    from .update import absorb_error
+    err = jnp.where(do, err, 0.0)
+    P = jnp.where(do, P, s.P)
+    s = s._replace(P=P)
+    return absorb_error(cfg, s, err)

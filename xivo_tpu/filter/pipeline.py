@@ -235,6 +235,13 @@ def _process_tracks(cfg: VIOConfig, s: VIOState):
     affected = affected.at[jnp.where(inst_drop, fr.ref, NG)].set(True)
     s = _remove_features_from_state(cfg, s, inst_drop)
 
+    # 1b) MSCKF/OOS update: never-instate features leaving the tracker
+    # spend their multi-view information before destruction (first-class
+    # version of the reference's gated-off use_OOS, src/oos.cpp)
+    if cfg.use_OOS:
+        from .oos import oos_update
+        s = oos_update(cfg, s, dropped & ~instate)
+
     # 2) all dropped rows leave the table
     s = s._replace(features=_clear_feature_rows(s.features, dropped))
     fr = s.features
