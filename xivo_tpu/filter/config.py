@@ -179,6 +179,19 @@ class VIOConfig:
     max_pixel_displacement: float = 64.0
     num_features_min: int = 120
     num_features_max: int = 200
+    tracker_type: str = "POINTCLOUD"   # POINTCLOUD | LK
+    use_prediction: bool = False
+    mask_size: int = 15
+    margin: int = 8
+    klt_win_size: int = 15
+    klt_max_level: int = 5
+    klt_max_iter: int = 30
+    klt_eps: float = 0.01
+    detector: str = "FAST"             # FAST | GFTT
+    fast_threshold: float = 20.0
+    extract_descriptor: bool = True
+    descriptor_distance_thresh: int = -1
+    match_dropped_tracks: bool = False
 
     @property
     def R(self):
@@ -324,6 +337,27 @@ def config_from_json(cfg: dict, dims: Optional[Dims] = None,
             "max_pixel_displacement", 64.0),
         num_features_min=cfg.get("tracker_cfg", {}).get("num_features_min", 120),
         num_features_max=cfg.get("tracker_cfg", {}).get("num_features_max", 200),
+        tracker_type=cfg.get("tracker_cfg", {}).get("tracker_type",
+                                                    "POINTCLOUD"),
+        use_prediction=cfg.get("tracker_cfg", {}).get("use_prediction", False),
+        mask_size=cfg.get("tracker_cfg", {}).get("mask_size", 15),
+        margin=cfg.get("tracker_cfg", {}).get("margin", 8),
+        klt_win_size=cfg.get("tracker_cfg", {}).get("KLT", {}).get(
+            "win_size", 15),
+        klt_max_level=cfg.get("tracker_cfg", {}).get("KLT", {}).get(
+            "max_level", 5),
+        klt_max_iter=cfg.get("tracker_cfg", {}).get("KLT", {}).get(
+            "max_iter", 30),
+        klt_eps=cfg.get("tracker_cfg", {}).get("KLT", {}).get("eps", 0.01),
+        detector=cfg.get("tracker_cfg", {}).get("detector", "FAST"),
+        fast_threshold=cfg.get("tracker_cfg", {}).get("FAST", {}).get(
+            "threshold", 20.0),
+        extract_descriptor=cfg.get("tracker_cfg", {}).get(
+            "extract_descriptor", True),
+        descriptor_distance_thresh=cfg.get("tracker_cfg", {}).get(
+            "descriptor_distance_thresh", -1),
+        match_dropped_tracks=cfg.get("tracker_cfg", {}).get(
+            "match_dropped_tracks", False),
     )
     kw.update(overrides)
     return VIOConfig(**kw)

@@ -89,6 +89,7 @@ class FeatureTable(NamedTuple):
     adj: jnp.ndarray        # (NF,NG) bool visibility adjacency
     adj_xp: jnp.ndarray     # (NF,NG,2) pixel observation per (feature, group)
     sim_depth: jnp.ndarray  # (NF,) ground-truth depth hint (simulation)
+    desc: jnp.ndarray       # (NF,8) uint32 packed BRIEF descriptor
 
     @property
     def active(self):
@@ -196,6 +197,7 @@ def init_state(cfg: VIOConfig, key=None) -> VIOState:
         adj=jnp.zeros((NF, NG), bool),
         adj_xp=jnp.zeros((NF, NG, 2), dt),
         sim_depth=jnp.full((NF,), -1.0, dt),
+        desc=jnp.zeros((NF, 8), jnp.uint32),
     )
     groups = GroupTable(
         gid=jnp.full((NG,), -1, jnp.int32),

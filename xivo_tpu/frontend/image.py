@@ -1,0 +1,93 @@
+"""Image primitives: pyramids, gradients, bilinear sampling.
+
+The substrate for the TPU-native front-end that replaces OpenCV in the
+reference's Tracker (src/tracker.cpp). Everything is jnp on (H, W)
+float32 images; XLA fuses the small stencils, and the gather-heavy
+sampling vectorizes over track batches.
+"""
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+
+def blur3(img):
+    """3x3 binomial blur (separable [1 2 1]/4)."""
+    k = jnp.asarray([0.25, 0.5, 0.25], img.dtype)
+    img = jnp.pad(img, ((1, 1), (0, 0)), mode="edge")
+    img = (img[:-2] * k[0] + img[1:-1] * k[1] + img[2:] * k[2])
+    img = jnp.pad(img, ((0, 0), (1, 1)), mode="edge")
+    img = (img[:, :-2] * k[0] + img[:, 1:-1] * k[1] + img[:, 2:] * k[2])
+    return img
+
+
+def blur5(img):
+    """5x5 Gaussian-ish blur (separable [1 4 6 4 1]/16) — BRIEF smoothing."""
+    k = jnp.asarray([1.0, 4.0, 6.0, 4.0, 1.0], img.dtype) / 16.0
+    img = jnp.pad(img, ((2, 2), (0, 0)), mode="edge")
+    img = sum(img[i:img.shape[0] - 4 + i] * k[i] for i in range(5))
+    img = jnp.pad(img, ((0, 0), (2, 2)), mode="edge")
+    img = sum(img[:, i:img.shape[1] - 4 + i] * k[i] for i in range(5))
+    return img
+
+
+def downsample2(img):
+    """Blur + 2x decimation (cv::buildOpticalFlowPyramid level step)."""
+    return blur3(img)[::2, ::2]
+
+
+def build_pyramid(img, levels: int) -> List[jnp.ndarray]:
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(downsample2(pyr[-1]))
+    return pyr
+
+
+def scharr(img):
+    """Scharr x/y gradients (the kernel OpenCV LK uses internally)."""
+    kd = jnp.asarray([-1.0, 0.0, 1.0], img.dtype) / 2.0
+    ks = jnp.asarray([3.0, 10.0, 3.0], img.dtype) / 16.0
+
+    def sep(img, krow, kcol):
+        p = jnp.pad(img, ((1, 1), (0, 0)), mode="edge")
+        img = sum(p[i:p.shape[0] - 2 + i] * krow[i] for i in range(3))
+        p = jnp.pad(img, ((0, 0), (1, 1)), mode="edge")
+        return sum(p[:, i:p.shape[1] - 2 + i] * kcol[i] for i in range(3))
+
+    gx = sep(img, ks, kd)
+    gy = sep(img, kd, ks)
+    return gx, gy
+
+
+def bilinear(img, xy):
+    """Sample img at continuous (x, y) points; xy (..., 2) in pixel coords.
+
+    Out-of-bounds clamps to the border (callers bound-check separately).
+    """
+    H, W = img.shape
+    x = jnp.clip(xy[..., 0], 0.0, W - 1.001)
+    y = jnp.clip(xy[..., 1], 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    # cast before subtracting: int32 + float32 would promote to f64 under
+    # x64 mode and break dtype-stable loops
+    fx = x - x0.astype(x.dtype)
+    fy = y - y0.astype(y.dtype)
+    i00 = img[y0, x0]
+    i01 = img[y0, x0 + 1]
+    i10 = img[y0 + 1, x0]
+    i11 = img[y0 + 1, x0 + 1]
+    return ((1 - fy) * ((1 - fx) * i00 + fx * i01)
+            + fy * ((1 - fx) * i10 + fx * i11))
+
+
+def patch_coords(center, half: int):
+    """Integer-lattice patch offsets around a continuous center.
+
+    Returns (2h+1, 2h+1, 2) coordinates center + offset.
+    """
+    r = jnp.arange(-half, half + 1, dtype=center.dtype)
+    ox, oy = jnp.meshgrid(r, r, indexing="xy")
+    return jnp.stack([center[0] + ox, center[1] + oy], axis=-1)

@@ -1,0 +1,165 @@
+"""Image tracker: LK tracking + FAST detection over the filter's tables.
+
+Port of Tracker::UpdateLK / DetectLK (src/tracker.cpp:463-629, 219-329)
+onto the masked FeatureTable, plus ``vio_frame_image`` — the image-mode
+analogue of the point-cloud ``vio_frame``: one jitted call per camera
+frame containing IMU propagation, prediction, LK, masked detection,
+BRIEF extraction, and the full filter update step.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import cam as cam_mod
+from ..filter import layout as L
+from ..filter.config import VIOConfig
+from ..filter.features import predict_pixel
+from ..filter.pipeline import StepOutputs, update_step, _clear_feature_rows, \
+    _rank_assign
+from ..filter.propagate import imu_sample_update, propagate_state
+from ..filter.state import (FS_CREATED, TS_CREATED, TS_DROPPED, TS_NONE,
+                            TS_TRACKED, VIOState)
+from . import brief
+from .fast import fast_score, nms3, select_topk, shi_tomasi_score
+from .image import blur5, build_pyramid
+from .lk import track
+
+
+class FrontendState(NamedTuple):
+    """Image state carried between frames (the prev pyramid)."""
+    pyr: Tuple[jnp.ndarray, ...]   # previous image pyramid
+    initialized: jnp.ndarray       # () bool
+
+
+def init_frontend(cfg: VIOConfig) -> FrontendState:
+    rows, cols = int(cfg.cam_params[0]), int(cfg.cam_params[1])
+    pyr = []
+    h, w = rows, cols
+    for _ in range(cfg.klt_max_level):
+        pyr.append(jnp.zeros((h, w), jnp.float32))
+        h, w = (h + 1) // 2, (w + 1) // 2
+    return FrontendState(pyr=tuple(pyr), initialized=jnp.asarray(False))
+
+
+def tracker_image(cfg: VIOConfig, s: VIOState, fes: FrontendState,
+                  image) -> Tuple[VIOState, FrontendState]:
+    """One tracker update from an (H, W) float image."""
+    fr = s.features
+    gr = s.groups
+    NF = fr.fid.shape[0]
+    NG = gr.gid.shape[0]
+    kind = cam_mod.MODEL_IDS[cfg.cam_model]
+
+    pyr_new = tuple(build_pyramid(image.astype(jnp.float32),
+                                  cfg.klt_max_level))
+
+    active = fr.active
+
+    # initial guesses: filter prediction (Feature::Predict) or previous
+    # position (use_prediction=false, the TUM-VI setting)
+    if cfg.use_prediction:
+        grow = jnp.clip(fr.ref, 0, NG - 1)
+
+        def pred_one(x, g):
+            xp, depth = predict_pixel(kind, s.cam, s.X, gr.Rsb[g],
+                                      gr.Tsb[g], x)
+            return xp
+
+        guesses = jax.vmap(pred_one)(fr.x, grow)
+        guesses = jnp.where((fr.ref >= 0)[:, None], guesses, fr.xp)
+    else:
+        guesses = fr.xp
+
+    new_xy, ok = track(list(fes.pyr), list(pyr_new), fr.xp, guesses, active,
+                       win_size=cfg.klt_win_size, iters=cfg.klt_max_iter,
+                       eps=cfg.klt_eps)
+    # first frame: nothing to track against
+    ok = ok & fes.initialized
+    disp_ok = jnp.linalg.norm(new_xy - fr.xp, axis=1) \
+        < cfg.max_pixel_displacement
+    tracked = active & ok & disp_ok
+    dropped = active & ~tracked
+
+    fr = fr._replace(
+        track=jnp.where(tracked, TS_TRACKED,
+                        jnp.where(dropped, TS_DROPPED, fr.track)),
+        xp=jnp.where(tracked[:, None], new_xy.astype(fr.xp.dtype), fr.xp))
+
+    # detection when the live-track count falls below num_features_min
+    n_live = jnp.sum(tracked.astype(jnp.int32))
+    need = n_live < cfg.num_features_min
+    budget = jnp.maximum(cfg.num_features_max - n_live, 0)
+
+    if cfg.detector.upper() == "GFTT":
+        score = shi_tomasi_score(pyr_new[0])
+    else:
+        score = fast_score(pyr_new[0], cfg.fast_threshold)
+    score = nms3(score)
+
+    K_DET = 64  # static per-frame detection budget
+    det_xy, det_score, det_ok = select_topk(
+        score, K_DET, cfg.margin, fr.xp, tracked, cfg.mask_size)
+    det_ok = det_ok & need & (jnp.arange(K_DET) < budget)
+
+    slot_of_det, got = _rank_assign(~fr.active & ~tracked, det_ok,
+                                    -det_score)
+    tgt = jnp.where(got, slot_of_det, NF)
+
+    img_smooth = blur5(pyr_new[0])
+    if cfg.extract_descriptor:
+        descs = jax.vmap(lambda p: brief.extract(img_smooth, p))(det_xy)
+    else:
+        descs = jnp.zeros((K_DET, 8), jnp.uint32)
+
+    dtype = fr.xp.dtype
+    new_fids = s.next_fid + jnp.cumsum(got.astype(jnp.int32)) - 1
+    fr = fr._replace(
+        fid=fr.fid.at[tgt].set(new_fids),
+        status=fr.status.at[tgt].set(FS_CREATED),
+        track=fr.track.at[tgt].set(TS_CREATED),
+        ref=fr.ref.at[tgt].set(-1),
+        sind=fr.sind.at[tgt].set(-1),
+        init_counter=fr.init_counter.at[tgt].set(0),
+        lifetime=fr.lifetime.at[tgt].set(0),
+        outlier_counter=fr.outlier_counter.at[tgt].set(0.0),
+        xp=fr.xp.at[tgt].set(det_xy.astype(dtype)),
+        tri_ok=fr.tri_ok.at[tgt].set(False),
+        adj=fr.adj.at[tgt].set(False),
+        sim_depth=fr.sim_depth.at[tgt].set(-1.0),
+        desc=fr.desc.at[tgt].set(descs),
+    )
+    s = s._replace(features=fr,
+                   next_fid=s.next_fid + jnp.sum(got.astype(jnp.int32)))
+    fes = FrontendState(pyr=pyr_new, initialized=jnp.asarray(True))
+    return s, fes
+
+
+def vio_frame_image(cfg: VIOConfig, s: VIOState, fes: FrontendState,
+                    imu_gyro, imu_accel, imu_dt, frame_dt, image):
+    """Image-mode frame step (the TUM-VI path): IMU scan + LK + filter."""
+    def imu_body(s, inp):
+        gy, ac, dt = inp
+        return imu_sample_update(cfg, s, gy, ac, dt), None
+
+    s, _ = jax.lax.scan(imu_body, s, (imu_gyro, imu_accel, imu_dt))
+    if cfg.online_temporal_calib:
+        dt_eff = jnp.maximum(frame_dt + s.X.td - s.td_applied, 0.0)
+        s = s._replace(td_applied=s.X.td.astype(s.td_applied.dtype))
+    else:
+        dt_eff = frame_dt
+    s = jax.lax.cond(dt_eff > 0,
+                     lambda s: propagate_state(cfg, s, dt_eff, True),
+                     lambda s: s, s)
+    s, fes = tracker_image(cfg, s, fes, image)
+    s, out = update_step(cfg, s)
+    return s, fes, out
+
+
+def tracker_only_frame(cfg: VIOConfig, s: VIOState, fes: FrontendState,
+                       image):
+    """Front-end-only step (the feature_tracker_only app,
+    src/app/feature_tracker_only.cpp): track + detect, no filter."""
+    return tracker_image(cfg, s, fes, image)
