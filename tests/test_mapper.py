@@ -1,0 +1,122 @@
+"""Mapper / loop-closure tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xivo_tpu.map import (init_map, map_insert, p3p_grunert, pnp_ransac)
+from xivo_tpu.frontend import brief
+
+
+
+
+def test_p3p_recovers_pose():
+    RNG = np.random.default_rng(5)
+    from scipy.spatial.transform import Rotation
+    R_true = Rotation.from_rotvec([0.3, -0.2, 0.5]).as_matrix()
+    t_true = np.array([0.5, -1.0, 2.0])
+    Xw = RNG.uniform(-3, 3, (3, 3)) + np.array([0, 0, 8.0])
+    Xc = Xw @ R_true.T + t_true
+    f = Xc / np.linalg.norm(Xc, axis=1, keepdims=True)
+    R4, t4, ok = p3p_grunert(jnp.asarray(Xw), jnp.asarray(f))
+    errs = [float(jnp.linalg.norm(R4[i] - R_true)
+                  + jnp.linalg.norm(t4[i] - t_true))
+            for i in range(4) if bool(ok[i])]
+    assert min(errs) < 1e-6
+
+
+def test_pnp_ransac_with_outliers():
+    RNG = np.random.default_rng(6)
+    from scipy.spatial.transform import Rotation
+    R_true = Rotation.from_rotvec([-0.1, 0.4, 0.2]).as_matrix()
+    t_true = np.array([1.0, 0.3, -0.5])
+    N = 40
+    Xw = RNG.uniform(-4, 4, (N, 3)) + np.array([0, 0, 10.0])
+    Xc = Xw @ R_true.T + t_true
+    f = Xc / np.linalg.norm(Xc, axis=1, keepdims=True)
+    f[:8] = RNG.standard_normal((8, 3))
+    f /= np.linalg.norm(f, axis=1, keepdims=True)
+    R, t, inl, ok = pnp_ransac(jax.random.PRNGKey(1), jnp.asarray(Xw),
+                               jnp.asarray(f), jnp.ones(N, bool))
+    assert bool(ok)
+    inl = np.asarray(inl)
+    assert inl[8:].sum() >= 28      # most true inliers kept
+    assert inl[:8].sum() <= 1       # outliers rejected
+    assert np.linalg.norm(np.asarray(R) - R_true) < 1e-6
+
+
+def test_map_ring_buffer():
+    RNG = np.random.default_rng(7)
+    ms = init_map(capacity=16)
+    Xs = jnp.asarray(RNG.standard_normal((10, 3)), jnp.float32)
+    desc = jnp.asarray(RNG.integers(0, 2**32, (10, 8), dtype=np.uint32))
+    ms = map_insert(ms, Xs, desc, jnp.ones(10, bool))
+    assert int(ms.valid.sum()) == 10
+    assert int(ms.write_ptr) == 10
+    # wrap-around
+    ms = map_insert(ms, Xs, desc, jnp.ones(10, bool))
+    assert int(ms.valid.sum()) == 16
+    assert int(ms.write_ptr) == 4
+    assert int(ms.count) == 20
+
+
+def test_close_loop_corrects_drifted_pose():
+    """Build a map at the true poses, drift the filter pose, verify the
+    LC update pulls it back."""
+    RNG = np.random.default_rng(8)
+    from xivo_tpu.filter.config import config_from_json
+    from xivo_tpu.filter.state import init_state
+    from xivo_tpu.filter import layout as L
+    from xivo_tpu.map.mapper import close_loop
+    from xivo_tpu import cam as cam_mod
+    from tests.test_e2e_pcw import PCW_CFG
+
+    cfg = config_from_json(PCW_CFG, dtype="float64")
+    s = init_state(cfg)
+    kind = cam_mod.MODEL_IDS[cfg.cam_model]
+
+    # landmarks in front of the camera at the TRUE pose (identity body)
+    N = 20
+    Xs_true = np.stack([RNG.uniform(-3, 3, N), RNG.uniform(6, 12, N),
+                        RNG.uniform(-2, 2, N)], axis=1)
+    descs = jnp.asarray(RNG.integers(0, 2**32, (N, 8), dtype=np.uint32))
+    ms = init_map(512, dtype=jnp.float64)
+    from xivo_tpu.map.mapper import map_insert
+    ms = map_insert(ms, jnp.asarray(Xs_true), descs, jnp.ones(N, bool))
+
+    # pixels observed from the TRUE pose
+    Rbc = np.asarray(s.X.Rbc)
+    Tbc = np.asarray(s.X.Tbc)
+    Xc = (Xs_true - Tbc) @ Rbc      # body = identity at truth
+    xp = []
+    for i in range(N):
+        xcn = Xc[i, :2] / Xc[i, 2]
+        xp.append(np.asarray(cam_mod.project(kind, s.cam,
+                                             jnp.asarray(xcn))))
+    xp = np.asarray(xp)
+
+    # the filter believes it drifted: Tsb offset + some pose uncertainty
+    drift = np.array([0.3, -0.2, 0.15])
+    X = s.X._replace(Tsb=jnp.asarray(drift))
+    P = s.P.at[L.TSB:L.TSB + 3, L.TSB:L.TSB + 3].set(
+        jnp.eye(3, dtype=jnp.float64) * 0.25)
+    s = s._replace(X=X, P=P)
+
+    # install the observations as instate features with matching
+    # descriptors (slot i <-> map i)
+    fr = s.features
+    F = cfg.dims.n_features
+    n_use = min(N, F)
+    fr = fr._replace(
+        fid=fr.fid.at[:n_use].set(jnp.arange(n_use, dtype=jnp.int32)),
+        status=fr.status.at[:n_use].set(4),
+        sind=fr.sind.at[:n_use].set(jnp.arange(n_use, dtype=jnp.int32)),
+        ref=fr.ref.at[:n_use].set(0),
+        xp=fr.xp.at[:n_use].set(jnp.asarray(xp[:n_use])),
+        desc=fr.desc.at[:n_use].set(descs[:n_use]))
+    f2row = s.f2row.at[:n_use].set(jnp.arange(n_use, dtype=jnp.int32))
+    s = s._replace(features=fr, f2row=f2row)
+
+    s2, n_lc = close_loop(cfg, s, ms)
+    assert int(n_lc) >= 5
+    resid = np.linalg.norm(np.asarray(s2.X.Tsb) - np.zeros(3))
+    assert resid < 0.1 * np.linalg.norm(drift), (np.asarray(s2.X.Tsb))
