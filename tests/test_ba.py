@@ -92,4 +92,7 @@ def test_ba_huber_downweights_outliers():
     p_hub, _ = solve(p_bad, iters=15, damping=1e-5, huber_thresh=0.01)
     err_no = np.linalg.norm(np.asarray(p_no.Ts) - Ts)
     err_hub = np.linalg.norm(np.asarray(p_hub.Ts) - Ts)
-    assert err_hub < err_no
+    # raw LM diverges (NaN) on these gross outliers; Huber keeps the
+    # solve finite and accurate
+    assert np.isfinite(err_hub) and err_hub < 0.2
+    assert (not np.isfinite(err_no)) or err_hub < err_no
