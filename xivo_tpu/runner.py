@@ -112,7 +112,7 @@ def make_sharded_runner(cfg: VIOConfig, mesh: jax.sharding.Mesh,
     the per-device program is exactly the single-chip scan (no XLA
     partitioner surprises in the scan body).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def step(s, inp):
@@ -136,7 +136,7 @@ def make_sharded_runner(cfg: VIOConfig, mesh: jax.sharding.Mesh,
                        out_specs=(specs_for(states),
                                   jax.tree.map(lambda _: P(axis),
                                                _out_struct(cfg))),
-                       check_rep=False)
+                       check_vma=False)
         return sm(states, fis)
 
     return run
