@@ -50,6 +50,8 @@ class Estimator:
         self._last_out = None
         self._seq = itertools.count()
         self._buf = []             # reorder heap [(ts, kind, n, payload)]
+        self._fes = None           # frontend (image-path) state
+        self._image_step = None
 
     # ------------------------------------------------------------------
     # measurement entry points (pyxivo parity)
@@ -69,6 +71,53 @@ class Estimator:
             self._seed_imu(ts, gyro, accel)
             return
         self._pending_imu.append((ts, gyro, accel))
+
+    def VisualMeas(self, ts: float, image):
+        """Image-measurement frame (the LK/FAST path).
+
+        `image` is an (H, W) array or a path loadable by io.load_image —
+        mirroring pyxivo's dual path/array binding
+        (pybind11/pyxivo.cpp:46-78).
+        """
+        if isinstance(image, str):
+            from ..io import load_image
+            image = load_image(image)
+        image = np.asarray(image, np.float32)
+        if not self.gravity_initialized:
+            return
+        if self._fes is None:
+            from ..frontend import init_frontend, vio_frame_image
+            self._fes = init_frontend(self.cfg)
+            self._image_step = jax.jit(partial(vio_frame_image, self.cfg),
+                                       donate_argnums=(0, 1))
+        if self.cfg.online_temporal_calib:
+            ts = ts + float(self.state.X.td)
+        if not self.vision_initialized:
+            self.vision_initialized = True
+            self._last_prop_time = ts
+            self._run_image_frame(ts, [], image)
+            return
+        self._run_image_frame(ts, self._pending_imu, image)
+        self._pending_imu = []
+
+    def _run_image_frame(self, ts, imu, image):
+        dtype = np.dtype(self.cfg.dtype)
+        gyro = np.zeros((IMU_CAP, 3), dtype)
+        accel = np.zeros((IMU_CAP, 3), dtype)
+        dts = np.zeros((IMU_CAP,), dtype)
+        t_prev = self._last_prop_time
+        for i, (t, gy, ac) in enumerate(imu[:IMU_CAP]):
+            gyro[i] = gy
+            accel[i] = ac
+            dts[i] = max(t - t_prev, 0.0)
+            t_prev = t
+        frame_dt = max(ts - t_prev, 0.0)
+        self._last_prop_time = ts
+        self.state, self._fes, out = self._image_step(
+            self.state, self._fes, jnp.asarray(gyro), jnp.asarray(accel),
+            jnp.asarray(dts), jnp.asarray(dtype.type(frame_dt)),
+            jnp.asarray(image))
+        self._last_out = out
 
     def VisualMeasPointCloud(self, ts: float, ids, xp_and_depths):
         """Synthetic-measurement frame (VisualMeasPointCloudInternal)."""

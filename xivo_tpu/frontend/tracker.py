@@ -115,7 +115,8 @@ def tracker_image(cfg: VIOConfig, s: VIOState, fes: FrontendState,
         descs = jnp.zeros((K_DET, 8), jnp.uint32)
 
     dtype = fr.xp.dtype
-    new_fids = s.next_fid + jnp.cumsum(got.astype(jnp.int32)) - 1
+    new_fids = (s.next_fid + jnp.cumsum(got.astype(jnp.int32)) - 1
+                ).astype(jnp.int32)
     fr = fr._replace(
         fid=fr.fid.at[tgt].set(new_fids),
         status=fr.status.at[tgt].set(FS_CREATED),
