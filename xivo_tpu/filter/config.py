@@ -122,6 +122,14 @@ class VIOConfig:
     use_OOS: bool = False
     OOS_min_observations: int = 5
 
+    # mapper / loop closure (USE_MAPPER + mapper_cfg in the reference)
+    use_mapper: bool = False
+    detect_loop_closures: bool = True
+    map_capacity: int = 20000
+    lc_nn_dist_thresh: int = 30
+    lc_ransac_thresh: float = 0.03
+    lc_min_matches: int = 5
+
     # IMU clamp
     clamp_signals: bool = False
     max_accel: Tuple[float, float, float] = (20.0, 20.0, 20.0)
@@ -358,6 +366,14 @@ def config_from_json(cfg: dict, dims: Optional[Dims] = None,
             "descriptor_distance_thresh", -1),
         match_dropped_tracks=cfg.get("tracker_cfg", {}).get(
             "match_dropped_tracks", False),
+        use_mapper=bool(cfg.get("mapper_cfg", {})) and cfg.get(
+            "mapper_cfg", {}).get("detectLoopClosures", False),
+        detect_loop_closures=cfg.get("mapper_cfg", {}).get(
+            "detectLoopClosures", True),
+        lc_nn_dist_thresh=int(cfg.get("mapper_cfg", {}).get(
+            "nn_dist_thresh", 30)),
+        lc_ransac_thresh=cfg.get("mapper_cfg", {}).get("RANSAC", {}).get(
+            "threshold", 0.03),
     )
     kw.update(overrides)
     return VIOConfig(**kw)
