@@ -1,0 +1,114 @@
+"""API-surface tests: the pyxivo method contract + checkpoint/resume +
+visualization hooks."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from xivo_tpu.api import Estimator
+from xivo_tpu.filter.config import config_from_json
+from xivo_tpu.sim import RandomPCW, get_imu_sim
+from tests.test_e2e_pcw import PCW_CFG
+
+PYXIVO_METHODS = [
+    "InertialMeas", "VisualMeas", "VisualMeasPointCloud", "CloseLoop",
+    "InitWithSimDepths", "ScaleInitVelocity", "gbc", "gsb", "gsc", "Vsb",
+    "Pstate", "P", "bg", "ba", "Rg", "td", "Ca", "Cg",
+    "InstateFeaturePositions", "InstateFeatureCovs", "InstateFeatureIDs",
+    "InstateFeatureSinds", "InstateFeatureRefGroups", "InstateFeatureXc",
+    "InstateFeaturexc", "InstateFeaturePreds", "InstateFeatureMeas",
+    "InstateGroupIDs", "InstateGroupSinds", "InstateGroupPoses",
+    "InstateGroupCovs", "num_instate_features", "num_instate_groups",
+    "num_mh_rejected", "num_oneptransac_rejected",
+    "num_tracker_outlier_rejected", "num_tracker_failed_to_track",
+    "num_tracker_new_detections", "UsingLoopClosure", "VisionInitialized",
+    "now", "Visualize", "gauge_group", "CameraIntrinsics",
+    "CameraDistortionType", "MeasurementUpdateInitialized",
+    "JustDroppedFeatureIDs", "tracked_features",
+    "tracked_features_no_descriptor",
+]
+
+
+def run_short(est, T=2.0):
+    imu = get_imu_sim("gentle", T=T + 1, noise_accel=0, noise_gyro=0,
+                      seed=1)
+    pcw = RandomPCW([-10, 10], [-10, 10], [-5, 5], n_points=300, seed=0)
+    K = np.array([[275.0, 0, 320], [0, 275, 240], [0, 0, 1]])
+    Rbc, Tbc = est.gbc()
+    packets = sorted([(t, 0) for t in np.arange(0, T, 0.01)]
+                     + [(t, 1) for t in np.arange(0, T, 0.05)])
+    for (t, kind) in packets:
+        if kind == 0:
+            a, g = imu.meas(t)
+            est.InertialMeas(t, g, a)
+        else:
+            Rsb, Tsb = imu.gsb(t)
+            ids, xpd = pcw.generate_measurements(
+                Rsb @ Rbc, Rsb @ Tbc + Tsb, K, 640, 480, 0.0)
+            est.VisualMeasPointCloud(t, ids, xpd)
+    return imu
+
+
+def test_pyxivo_method_surface():
+    cfg = config_from_json(PCW_CFG, dtype="float64")
+    est = Estimator(cfg)
+    missing = [m for m in PYXIVO_METHODS if not hasattr(est, m)]
+    assert not missing, missing
+
+
+def test_accessors_consistent(tmp_path):
+    cfg = config_from_json(PCW_CFG, dtype="float64",
+                           sim_initialize_depths=True)
+    est = Estimator(cfg)
+    run_short(est)
+    n = est.num_instate_features()
+    assert n > 0
+    assert len(est.InstateFeatureIDs()) == n
+    assert est.InstateFeatureCovs().shape == (n, 3, 3)
+    assert est.InstateFeaturexc().shape == (n, 3)
+    Xc = est.InstateFeatureXc()
+    assert (Xc[:, 2] > 0).all()
+    ng = est.num_instate_groups()
+    assert len(est.InstateGroupIDs()) == ng
+    assert est.InstateGroupCovs().shape == (ng, 6, 6)
+    assert est.gauge_group() >= 0
+    assert est.CameraDistortionType() == "pinhole"
+    fid, xp, desc = est.tracked_features()
+    assert len(fid) == len(xp) == len(desc)
+    # visualization + graph dump produce files
+    p1 = est.Visualize(str(tmp_path / "canvas.png"))
+    assert os.path.exists(p1)
+    from xivo_tpu.viz import write_graphviz
+    p2 = write_graphviz(est, str(tmp_path / "graph.dot"))
+    assert "graph vio" in open(p2).read()
+
+
+def test_checkpoint_resume(tmp_path):
+    cfg = config_from_json(PCW_CFG, dtype="float64",
+                           sim_initialize_depths=True)
+    est = Estimator(cfg)
+    run_short(est, T=1.5)
+    ck = str(tmp_path / "ck.pkl")
+    est.save_checkpoint(ck)
+    T1 = est.gsb()[1]
+
+    est2 = Estimator(cfg)
+    est2.load_checkpoint(ck)
+    assert np.allclose(est2.gsb()[1], T1)
+    assert est2.vision_initialized
+    # both continue identically for a few more frames
+    imu = get_imu_sim("gentle", T=3.0, noise_accel=0, noise_gyro=0, seed=1)
+    pcw1 = RandomPCW([-10, 10], [-10, 10], [-5, 5], n_points=300, seed=0)
+    # advance both with the same measurements
+    K = np.array([[275.0, 0, 320], [0, 275, 240], [0, 0, 1]])
+    Rbc, Tbc = est.gbc()
+    for t in [1.55, 1.6]:
+        a, g = imu.meas(t)
+        est.InertialMeas(t, g, a)
+        est2.InertialMeas(t, g, a)
+    Rsb, Tsb = imu.gsb(1.65)
+    ids, xpd = pcw1.generate_measurements(Rsb @ Rbc, Rsb @ Tbc + Tsb, K,
+                                          640, 480, 0.0)
+    est.VisualMeasPointCloud(1.65, ids, xpd)
+    est2.VisualMeasPointCloud(1.65, ids, xpd)
+    assert np.allclose(est.gsb()[1], est2.gsb()[1], atol=1e-12)

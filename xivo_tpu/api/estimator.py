@@ -308,3 +308,185 @@ class Estimator:
         sel = np.asarray(gr.sind) >= 0
         return (np.asarray(gr.Rsb)[sel], np.asarray(gr.Tsb)[sel],
                 np.asarray(gr.gid)[sel])
+
+    # -- remaining pyxivo surface (pybind11/pyxivo.cpp:332-398) --------
+
+    def _instate_rows(self):
+        fr = self.state.features
+        sind = np.asarray(fr.sind)
+        rows = np.nonzero(sind >= 0)[0]
+        return rows[np.argsort(sind[rows])]
+
+    def InstateFeatureIDs(self):
+        return np.asarray(self.state.features.fid)[self._instate_rows()]
+
+    def InstateFeatureSinds(self):
+        return np.asarray(self.state.features.sind)[self._instate_rows()]
+
+    def InstateFeatureRefGroups(self):
+        fr = self.state.features
+        gr = self.state.groups
+        rows = self._instate_rows()
+        return np.asarray(gr.gid)[np.asarray(fr.ref)[rows]]
+
+    def InstateFeatureXc(self):
+        """3D positions in the reference camera frame."""
+        fr = self.state.features
+        rows = self._instate_rows()
+        x = np.asarray(fr.x)[rows]
+        z = np.exp(x[:, 2])
+        return np.stack([x[:, 0] * z, x[:, 1] * z, z], axis=1)
+
+    def InstateFeaturexc(self):
+        """Local parametrization (X/Z, Y/Z, log Z)."""
+        return np.asarray(self.state.features.x)[self._instate_rows()]
+
+    def InstateFeatureCovs(self):
+        """Per-feature 3x3 blocks of the big covariance."""
+        d = self.cfg.dims
+        P = np.asarray(self.state.P)
+        out = []
+        for row in self._instate_rows():
+            sl = int(np.asarray(self.state.features.sind)[row])
+            off = d.feature_off(sl)
+            out.append(P[off:off + 3, off:off + 3])
+        return np.asarray(out).reshape(-1, 3, 3)
+
+    def InstateFeaturePreds(self):
+        return np.asarray(self.state.features.pred)[self._instate_rows()]
+
+    def InstateFeatureMeas(self):
+        return np.asarray(self.state.features.xp)[self._instate_rows()]
+
+    def InstateGroupIDs(self):
+        gr = self.state.groups
+        sel = np.asarray(gr.sind) >= 0
+        return np.asarray(gr.gid)[sel]
+
+    def InstateGroupSinds(self):
+        gr = self.state.groups
+        sel = np.asarray(gr.sind) >= 0
+        return np.asarray(gr.sind)[sel]
+
+    def InstateGroupCovs(self):
+        from ..filter import layout as L
+        P = np.asarray(self.state.P)
+        gr = self.state.groups
+        out = []
+        for sl in np.asarray(gr.sind)[np.asarray(gr.sind) >= 0]:
+            off = L.GROUP_BEGIN + 6 * int(sl)
+            out.append(P[off:off + 6, off:off + 6])
+        return np.asarray(out).reshape(-1, 6, 6)
+
+    def gauge_group(self):
+        row = int(self.state.gauge_row)
+        if row < 0:
+            return -1
+        return int(np.asarray(self.state.groups.gid)[row])
+
+    def CameraIntrinsics(self):
+        return np.asarray(self.state.cam)
+
+    def CameraDistortionType(self):
+        return self.cfg.cam_model
+
+    def MeasurementUpdateInitialized(self):
+        return self._last_out is not None
+
+    def VisionInitialized(self):
+        return self.vision_initialized
+
+    def UsingLoopClosure(self):
+        return self.cfg.use_mapper
+
+    def num_oneptransac_rejected(self):
+        # folded into the joint rejection counter (see StepOutputs)
+        return self.num_mh_rejected()
+
+    def num_tracker_outlier_rejected(self):
+        return 0  # homography outlier rejection not yet wired
+
+    def num_tracker_failed_to_track(self):
+        fr = self.state.features
+        from ..filter.state import TS_DROPPED
+        return int((np.asarray(fr.track) == TS_DROPPED).sum())
+
+    def num_tracker_new_detections(self):
+        fr = self.state.features
+        from ..filter.state import TS_CREATED
+        return int((np.asarray(fr.track) == TS_CREATED).sum())
+
+    def JustDroppedFeatureIDs(self):
+        fr = self.state.features
+        from ..filter.state import TS_DROPPED
+        sel = np.asarray(fr.track) == TS_DROPPED
+        return np.asarray(fr.fid)[sel]
+
+    def tracked_features(self):
+        """(id, x, y) of live tracks + descriptors."""
+        fr = self.state.features
+        from ..filter.state import TS_TRACKED
+        sel = (np.asarray(fr.fid) >= 0) \
+            & (np.asarray(fr.track) == TS_TRACKED)
+        return (np.asarray(fr.fid)[sel], np.asarray(fr.xp)[sel],
+                np.asarray(fr.desc)[sel])
+
+    def tracked_features_no_descriptor(self):
+        fid, xp, _ = self.tracked_features()
+        return fid, xp
+
+    def Visualize(self, save_path: Optional[str] = None):
+        from ..viz import plot_tracks
+        return plot_tracks(self, save_path)
+
+    def CloseLoop(self):
+        """Loop-closure step against the accumulated map (stream mode)."""
+        if not self.cfg.use_mapper:
+            return 0
+        from ..map import close_loop, init_map
+        if not hasattr(self, "_map") or self._map is None:
+            self._map = init_map(self.cfg.map_capacity,
+                                 dtype=np.dtype(self.cfg.dtype))
+            return 0
+        self.state, n = close_loop(
+            self.cfg, self.state, self._map,
+            nn_dist_thresh=self.cfg.lc_nn_dist_thresh,
+            ransac_thresh=self.cfg.lc_ransac_thresh,
+            min_matches=self.cfg.lc_min_matches)
+        return int(n)
+
+    # -- checkpoint / resume (absent in the reference; SURVEY §5 names
+    #    it as a required first-class improvement) ----------------------
+
+    def save_checkpoint(self, path: str):
+        import pickle
+        blob = dict(
+            state=jax.tree.map(np.asarray, self.state),
+            fes=jax.tree.map(np.asarray, self._fes)
+            if self._fes is not None else None,
+            map=jax.tree.map(np.asarray, getattr(self, "_map", None))
+            if getattr(self, "_map", None) is not None else None,
+            meta=dict(gravity_initialized=self.gravity_initialized,
+                      vision_initialized=self.vision_initialized,
+                      last_prop_time=self._last_prop_time,
+                      pending_imu=self._pending_imu,
+                      grav_buf=self._grav_buf))
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+
+    def load_checkpoint(self, path: str):
+        import pickle
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        self.state = jax.tree.map(jnp.asarray, blob["state"])
+        if blob["fes"] is not None:
+            from ..frontend import FrontendState
+            self._fes = jax.tree.map(jnp.asarray, blob["fes"])
+        if blob.get("map") is not None:
+            self._map = jax.tree.map(jnp.asarray, blob["map"])
+        m = blob["meta"]
+        self.gravity_initialized = m["gravity_initialized"]
+        self.vision_initialized = m["vision_initialized"]
+        self._last_prop_time = m["last_prop_time"]
+        self._pending_imu = m.get("pending_imu", [])
+        self._grav_buf = m.get("grav_buf", [])
