@@ -31,8 +31,9 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "32"))
     total_time = float(os.environ.get("BENCH_SECONDS", "5.0"))
 
-    cfg = config_from_json(PCW_CFG, dtype="float32",
-                           sim_initialize_depths=True)
+    cfg = config_from_json(
+        PCW_CFG, dtype="float32", sim_initialize_depths=True,
+        propagation_mode=os.environ.get("BENCH_PROP", "fast"))
     fi, gt = build_pcw_stream(cfg, total_time=total_time, noise_px=0.25)
     T = int(fi.frame_dt.shape[0])
 

@@ -64,6 +64,9 @@ class VIOConfig:
     integration_method: str = "PrinceDormand"
     stepsize: float = 0.002
     max_substeps: int = 10           # static bound on substeps per IMU sample
+    # "reference": per-substep joint X/F/P integration (PD45/RK4 parity)
+    # "fast": discrete transition composition, one P application per frame
+    propagation_mode: str = "reference"
 
     # calibration enables (compile flags in the reference)
     online_temporal_calib: bool = False
@@ -91,6 +94,10 @@ class VIOConfig:
     remove_outlier_counter: float = 10.0
 
     # admission (src/options.cpp, src/manager.cpp:332-566)
+    # bound on new groups admitted per frame: the reference loops until
+    # slots run out (only relevant in the first seconds); a small static
+    # bound keeps the compiled admission loop short on TPU
+    max_group_admissions: int = 4
     strict_criteria_timesteps: int = 5
     num_gauge_xy_features: int = 3
     collinear_cross_prod_thresh: float = 1e-3

@@ -436,7 +436,8 @@ def _admit_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
 
         return jax.lax.cond(can, admit, lambda s: s, s)
 
-    return jax.lax.fori_loop(0, d.n_groups, body, s)
+    return jax.lax.fori_loop(
+        0, min(cfg.max_group_admissions, d.n_groups), body, s)
 
 
 def _commit_feature_admissions(cfg: VIOConfig, s: VIOState, slot_of_row,
@@ -520,7 +521,8 @@ def _discard_affected_groups(cfg: VIOConfig, s: VIOState, affected):
     gr = gr._replace(gid=jnp.where(discard, -1, gr.gid),
                      lifetime=jnp.where(discard, 0, gr.lifetime))
     fr = s.features._replace(adj=s.features.adj & ~discard[None, :])
-    return s._replace(groups=gr, features=fr)
+    changed = jnp.any(discard) | jnp.any(transfer) | jnp.any(failed)
+    return s._replace(groups=gr, features=fr), changed
 
 
 def _one_pt_ransac(cfg: VIOConfig, s: VIOState, inlier_slots):
@@ -834,7 +836,7 @@ def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
     s = s._replace(features=_clear_feature_rows(s.features, rej_rows))
 
     # group hygiene + gauge maintenance
-    s = _discard_affected_groups(cfg, s, affected)
+    s, structure_changed = _discard_affected_groups(cfg, s, affected)
     s = _refresh_gauge_features(cfg, s)
 
     if cfg.use_1pt_RANSAC:
@@ -849,13 +851,18 @@ def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
         num_rej = num_rej + jnp.sum(ransac_rej.astype(jnp.int32))
         s = _remove_features_from_state(cfg, s, rej_rows)
         s = s._replace(features=_clear_feature_rows(s.features, rej_rows))
-        s = _discard_affected_groups(cfg, s, affected2)
+        s, ch2 = _discard_affected_groups(cfg, s, affected2)
+        structure_changed = structure_changed | ch2
         s = _refresh_gauge_features(cfg, s)
 
-    # the EKF update with surviving inliers (rebuilt jacobians: ownership
-    # transfers may have reparametrized features — see SURVEY §7.3 on the
-    # reference's stale-jacobian quirk, which we fix by recomputing)
-    sj2 = build_stacked_jacobian(cfg, s)
+    # the EKF update with surviving inliers. Ownership transfers (rare)
+    # reparametrize features, invalidating the gating-time Jacobians —
+    # the reference reuses them anyway (SURVEY §7.3 stale-jacobian
+    # quirk); we recompute, but only on frames where the structure
+    # actually changed (a runtime cond keeps the common path cheap).
+    sj2 = jax.lax.cond(structure_changed,
+                       lambda s: build_stacked_jacobian(cfg, s),
+                       lambda s: sj, s)
     inlier_now = sj2.valid & inlier_slots
     diagR = jnp.full((2 * cfg.dims.n_features,), cfg.R, s.P.dtype)
     err, P = joseph_update(s.P, sj2.H, sj2.inn, diagR, inlier_now)
@@ -885,18 +892,65 @@ def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
     return s, out
 
 
+def _propagate_frame_fast(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel,
+                          imu_dt, dt_eff) -> VIOState:
+    """Fast-mode frame propagation: compose per-sample transitions and
+    touch the big covariance exactly once (see propagate_interval_fast)."""
+    from .propagate import propagate_interval_fast
+    m = L.MOTION
+    dtype = s.P.dtype
+    eye = jnp.eye(m, dtype=dtype)
+
+    def body(carry, inp):
+        X, Phi, Q, lg, la, sg, sa, nprop = carry
+        gy, ac, dti = inp
+
+        def do(_):
+            dts = jnp.maximum(dti, 1e-12)
+            sgn = (gy - lg) / dts
+            san = (ac - la) / dts
+            Xn, Phi_i, Qi = propagate_interval_fast(cfg, X, lg, la, sgn,
+                                                    san, dti)
+            return (Xn, Phi_i @ Phi, Phi_i @ Q @ Phi_i.T + Qi, gy, ac,
+                    sgn.astype(dtype), san.astype(dtype), nprop + 1)
+
+        return jax.lax.cond(dti > 0, do, lambda _: carry, None), None
+
+    init = (s.X, eye, jnp.zeros((m, m), dtype), s.last_gyro, s.last_accel,
+            s.slope_gyro, s.slope_accel, jnp.zeros((), jnp.int32))
+    (X, Phi, Q, lg, la, sg, sa, nprop), _ = jax.lax.scan(
+        body, init, (imu_gyro, imu_accel, imu_dt))
+
+    # visual-frame extrapolation segment
+    def vis(_):
+        Xn, Phi_i, Qi = propagate_interval_fast(cfg, X, lg, la, sg, sa,
+                                                dt_eff)
+        return (Xn, Phi_i @ Phi, Phi_i @ Q @ Phi_i.T + Qi,
+                lg + sg * dt_eff, la + sa * dt_eff, nprop + 1)
+
+    X, Phi, Q, lg, la, nprop = jax.lax.cond(
+        dt_eff > 0, vis,
+        lambda _: (X, Phi, Q, lg, la, nprop), None)
+
+    # one covariance application per frame
+    qm = jnp.zeros((m,), dtype)
+    qm = qm.at[L.WSB:L.WSB + 3].set(cfg.Qmodel_Wsb ** 2)
+    qm = qm.at[L.WBC:L.WBC + 3].set(cfg.Qmodel_Wbc ** 2)
+    qm = qm.at[L.WSG:L.WSG + 2].set(cfg.Qmodel_Wsg ** 2)
+    Pmm = Phi @ s.P[:m, :m] @ Phi.T + Q \
+        + nprop.astype(dtype) * jnp.diag(qm)
+    Pms = Phi @ s.P[:m, m:]
+    P = s.P.at[:m, :m].set(0.5 * (Pmm + Pmm.T))
+    P = P.at[:m, m:].set(Pms)
+    P = P.at[m:, :m].set(Pms.T)
+    return s._replace(X=X, P=P, last_gyro=lg, last_accel=la,
+                      slope_gyro=sg, slope_accel=sa)
+
+
 def vio_frame(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel, imu_dt,
               frame_dt, meas_id, meas_xp, meas_depth, meas_valid):
     """One full visual frame: IMU scan + propagation to frame time +
     tracker + update step. This is THE function to jit/scan/vmap."""
-    # IMU samples (masked with dt == 0)
-    def imu_body(s, inp):
-        gy, ac, dt = inp
-        return imu_sample_update(cfg, s, gy, ac, dt), None
-
-    s, _ = jax.lax.scan(imu_body, s, (imu_gyro, imu_accel, imu_dt))
-
-    # propagate to the frame timestamp (visual branch of Propagate).
     # With online temporal calibration the effective frame time shifts by
     # the CURRENT td estimate relative to the shift already applied — the
     # in-graph equivalent of the reference's host-side ts += td
@@ -906,9 +960,19 @@ def vio_frame(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel, imu_dt,
         s = s._replace(td_applied=s.X.td.astype(s.td_applied.dtype))
     else:
         dt_eff = frame_dt
-    s = jax.lax.cond(dt_eff > 0,
-                     lambda s: propagate_state(cfg, s, dt_eff, True),
-                     lambda s: s, s)
+
+    if cfg.propagation_mode == "fast":
+        s = _propagate_frame_fast(cfg, s, imu_gyro, imu_accel, imu_dt,
+                                  dt_eff)
+    else:
+        def imu_body(s, inp):
+            gy, ac, dt = inp
+            return imu_sample_update(cfg, s, gy, ac, dt), None
+
+        s, _ = jax.lax.scan(imu_body, s, (imu_gyro, imu_accel, imu_dt))
+        s = jax.lax.cond(dt_eff > 0,
+                         lambda s: propagate_state(cfg, s, dt_eff, True),
+                         lambda s: s, s)
 
     s = tracker_pointcloud(cfg, s, meas_id, meas_xp, meas_depth, meas_valid)
     return update_step(cfg, s)

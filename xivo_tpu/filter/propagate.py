@@ -243,6 +243,66 @@ def propagate_interval(cfg: VIOConfig, X: MotionState, Pmm, Pms,
     return out.X, out.Pmm, out.Pms
 
 
+def propagate_interval_fast(cfg: VIOConfig, X: MotionState, gyro0, accel0,
+                            sg, sa, dt):
+    """Fast propagation: nominal X + accumulated discrete transition.
+
+    The TPU-native fast path (cfg.propagation_mode == "fast"): instead of
+    the reference's 7-stage joint X/F/P integration per substep, each
+    substep composes a second-order discrete transition
+    Phi_i = I + F h + 0.5 (F h)^2 and accumulates the process noise
+    Q <- Phi_i Q Phi_i^T + G Qimu G^T h. The covariance itself is NOT
+    touched here — the caller applies P <- Phi P Phi^T + Q once per
+    measurement interval, amortizing the big triple product. The nominal
+    state integrates with the same ComposeMotion midpoint scheme.
+
+    Returns (X', Phi (m,m), Qacc (m,m)).
+    """
+    dtype = X.Tsb.dtype
+    m = L.MOTION
+    g = jnp.asarray(cfg.gravity, dtype)
+    Qimu = jnp.asarray(
+        (list(cfg.Qimu_gyro) + list(cfg.Qimu_accel)
+         + list(cfg.Qimu_gyro_bias) + list(cfg.Qimu_accel_bias)), dtype)
+    Qimu = jnp.diag(Qimu ** 2)
+    h0 = cfg.stepsize
+    eye = jnp.eye(m, dtype=dtype)
+
+    class C(NamedTuple):
+        X: MotionState
+        Phi: jnp.ndarray
+        Q: jnp.ndarray
+        total: jnp.ndarray
+        gyro: jnp.ndarray
+        accel: jnp.ndarray
+
+    def cond(c):
+        return c.total < dt
+
+    def body(c):
+        rem = dt - c.total
+        h = jnp.minimum(h0, rem)
+        h = jnp.where((rem > h0) & (rem < 1.5 * h0), 0.5 * h0, h)
+        # midpoint inputs for the jacobian, RK2-style nominal step
+        gy_m = c.gyro + sg * (0.5 * h)
+        ac_m = c.accel + sa * (0.5 * h)
+        Xm = compose_motion(c.X, c.X.Vsb, gy_m, ac_m, 0.5 * h, g)
+        F, G = motion_jacobians(Xm, gy_m, ac_m, g, dtype)
+        Xn = compose_motion(c.X, Xm.Vsb, gy_m, ac_m, h, g)
+        Fh = F * h
+        Phi_i = eye + Fh + 0.5 * (Fh @ Fh)
+        Qi = (G @ Qimu @ G.T) * h
+        Phi = Phi_i @ c.Phi
+        Q = Phi_i @ c.Q @ Phi_i.T + Qi
+        return C(Xn, Phi, Q, c.total + h, c.gyro + sg * h,
+                 c.accel + sa * h)
+
+    out = jax.lax.while_loop(cond, body, C(
+        X, eye, jnp.zeros((m, m), dtype), jnp.zeros((), dtype),
+        gyro0, accel0))
+    return out.X, out.Phi, out.Q
+
+
 def propagate_state(cfg: VIOConfig, s: VIOState, dt, is_visual: bool):
     """Full-state propagation for one measurement interval.
 
