@@ -207,6 +207,8 @@ class VIOConfig:
     extract_descriptor: bool = True
     descriptor_distance_thresh: int = -1
     match_dropped_tracks: bool = False
+    do_outlier_rejection: bool = False
+    homography_reproj_thresh: float = 3.0
 
     @property
     def R(self):
@@ -373,6 +375,10 @@ def config_from_json(cfg: dict, dims: Optional[Dims] = None,
             "descriptor_distance_thresh", -1),
         match_dropped_tracks=cfg.get("tracker_cfg", {}).get(
             "match_dropped_tracks", False),
+        do_outlier_rejection=cfg.get("tracker_cfg", {}).get(
+            "do_outlier_rejection", False),
+        homography_reproj_thresh=cfg.get("tracker_cfg", {}).get(
+            "outlier_rejection", {}).get("RANSAC_reproj_thresh", 3.0),
         use_mapper=bool(cfg.get("mapper_cfg", {})) and cfg.get(
             "mapper_cfg", {}).get("detectLoopClosures", False),
         detect_loop_closures=cfg.get("mapper_cfg", {}).get(

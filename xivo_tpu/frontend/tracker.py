@@ -81,6 +81,18 @@ def tracker_image(cfg: VIOConfig, s: VIOState, fes: FrontendState,
     disp_ok = jnp.linalg.norm(new_xy - fr.xp, axis=1) \
         < cfg.max_pixel_displacement
     tracked = active & ok & disp_ok
+
+    if cfg.do_outlier_rejection:
+        # homography-consistency rejection (Tracker::OutlierRejection,
+        # src/tracker.cpp:705-753)
+        from .homography import homography_ransac
+        key, sub = jax.random.split(s.key)
+        s = s._replace(key=key)
+        inl, hok = homography_ransac(
+            sub, fr.xp, new_xy, tracked,
+            thresh=cfg.homography_reproj_thresh)
+        tracked = tracked & inl
+
     dropped = active & ~tracked
 
     fr = fr._replace(
@@ -104,15 +116,49 @@ def tracker_image(cfg: VIOConfig, s: VIOState, fes: FrontendState,
         score, K_DET, cfg.margin, fr.xp, tracked, cfg.mask_size)
     det_ok = det_ok & need & (jnp.arange(K_DET) < budget)
 
-    slot_of_det, got = _rank_assign(~fr.active & ~tracked, det_ok,
-                                    -det_score)
-    tgt = jnp.where(got, slot_of_det, NF)
-
     img_smooth = blur5(pyr_new[0])
     if cfg.extract_descriptor:
         descs = jax.vmap(lambda p: brief.extract(img_smooth, p))(det_xy)
     else:
         descs = jnp.zeros((K_DET, 8), jnp.uint32)
+
+    if cfg.match_dropped_tracks and cfg.extract_descriptor:
+        # dropped-track rescue (src/tracker.cpp:245-311): match fresh
+        # detections against just-dropped tracks by descriptor distance
+        # + displacement; revive instead of re-creating
+        dthresh = cfg.descriptor_distance_thresh \
+            if cfg.descriptor_distance_thresh > 0 else 50
+        just_dropped = dropped
+        D = brief.hamming_matrix(fr.desc, descs)          # (NF, K_DET)
+        disp = jnp.linalg.norm(fr.xp[:, None, :] - det_xy[None, :, :],
+                               axis=-1)
+        match_ok = just_dropped[:, None] & det_ok[None, :] \
+            & (D < dthresh) & (disp < cfg.max_pixel_displacement)
+        Dm = jnp.where(match_ok, D, 10_000)
+        best_det = jnp.argmin(Dm, axis=1)
+        has = jnp.min(Dm, axis=1) < 10_000
+        # one detection revives at most one track: keep the best track
+        # per detection
+        det_oh = jax.nn.one_hot(jnp.where(has, best_det, K_DET), K_DET,
+                                dtype=jnp.int32)
+        first_track = jnp.argmax(det_oh, axis=0)          # (K_DET,)
+        claimed_by = jnp.where(jnp.any(det_oh > 0, axis=0),
+                               first_track, -1)
+        revive = has & (claimed_by[jnp.clip(best_det, 0, K_DET - 1)]
+                        == jnp.arange(fr.fid.shape[0]))
+        rx = det_xy[jnp.clip(best_det, 0, K_DET - 1)]
+        fr = fr._replace(
+            track=jnp.where(revive, TS_TRACKED, fr.track),
+            xp=jnp.where(revive[:, None], rx.astype(fr.xp.dtype), fr.xp))
+        tracked = tracked | revive
+        dropped = dropped & ~revive
+        used = jnp.zeros((K_DET,), bool).at[
+            jnp.where(revive, best_det, K_DET)].set(True)
+        det_ok = det_ok & ~used
+
+    slot_of_det, got = _rank_assign(~fr.active & ~tracked, det_ok,
+                                    -det_score)
+    tgt = jnp.where(got, slot_of_det, NF)
 
     dtype = fr.xp.dtype
     new_fids = (s.next_fid + jnp.cumsum(got.astype(jnp.int32)) - 1
