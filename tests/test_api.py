@@ -11,7 +11,8 @@ from xivo_tpu.sim import RandomPCW, get_imu_sim
 from tests.test_e2e_pcw import PCW_CFG
 
 PYXIVO_METHODS = [
-    "InertialMeas", "VisualMeas", "VisualMeasPointCloud", "CloseLoop",
+    "InertialMeas", "VisualMeas", "VisualMeasTrackerOnly",
+    "VisualMeasPointCloud", "VisualMeasPointCloudTrackerOnly", "CloseLoop",
     "InitWithSimDepths", "ScaleInitVelocity", "gbc", "gsb", "gsc", "Vsb",
     "Pstate", "P", "bg", "ba", "Rg", "td", "Ca", "Cg",
     "InstateFeaturePositions", "InstateFeatureCovs", "InstateFeatureIDs",
@@ -81,6 +82,22 @@ def test_accessors_consistent(tmp_path):
     from xivo_tpu.viz import write_graphviz
     p2 = write_graphviz(est, str(tmp_path / "graph.dot"))
     assert "graph vio" in open(p2).read()
+
+
+def test_tracker_only_mode():
+    cfg = config_from_json(PCW_CFG, dtype="float64")
+    est = Estimator(cfg)
+    pcw = RandomPCW([-10, 10], [-10, 10], [-5, 5], n_points=300, seed=0)
+    K = np.array([[275.0, 0, 320], [0, 275, 240], [0, 0, 1]])
+    Rbc, Tbc = est.gbc()
+    for i, t in enumerate(np.arange(0, 0.5, 0.05)):
+        ids, xpd = pcw.generate_measurements(Rbc, Tbc, K, 640, 480, 0.0)
+        est.VisualMeasPointCloudTrackerOnly(t, ids, xpd)
+    fid, xp = est.tracked_features_no_descriptor()
+    assert len(fid) > 50
+    # the filter never ran
+    assert est.num_instate_features() == 0
+    assert np.allclose(est.gsb()[1], 0.0)
 
 
 def test_checkpoint_resume(tmp_path):

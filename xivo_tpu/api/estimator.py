@@ -52,6 +52,8 @@ class Estimator:
         self._buf = []             # reorder heap [(ts, kind, n, payload)]
         self._fes = None           # frontend (image-path) state
         self._image_step = None
+        self._tracker_step = None
+        self._pc_tracker_step = None
 
     # ------------------------------------------------------------------
     # measurement entry points (pyxivo parity)
@@ -133,6 +135,49 @@ class Estimator:
             return
         self._run_frame(ts, self._pending_imu, ids, xpd)
         self._pending_imu = []
+
+    def VisualMeasTrackerOnly(self, ts: float, image):
+        """Front-end only: track + detect, no filter (the
+        feature_tracker_only app / CreateSystemTrackerOnly path)."""
+        if isinstance(image, str):
+            from ..io import load_image
+            image = load_image(image)
+        image = np.asarray(image, np.float32)
+        if self._fes is None:
+            from ..frontend import init_frontend, tracker_only_frame
+            self._fes = init_frontend(self.cfg)
+            self._tracker_step = jax.jit(
+                partial(tracker_only_frame, self.cfg),
+                donate_argnums=(0, 1))
+        self.state, self._fes = self._tracker_step(
+            self.state, self._fes, jnp.asarray(image))
+        self._last_prop_time = ts
+
+    def VisualMeasPointCloudTrackerOnly(self, ts: float, ids,
+                                        xp_and_depths):
+        """Point-cloud tracker association only, no filter."""
+        from ..filter.pipeline import tracker_pointcloud
+        ids = np.asarray(ids)
+        xpd = np.asarray(xp_and_depths, float).reshape(-1, 3)
+        if not hasattr(self, "_pc_tracker_step") \
+                or self._pc_tracker_step is None:
+            self._pc_tracker_step = jax.jit(
+                partial(tracker_pointcloud, self.cfg),
+                donate_argnums=(0,))
+        dtype = np.dtype(self.cfg.dtype)
+        mid = np.full((MEAS_CAP,), -1, np.int32)
+        mxp = np.zeros((MEAS_CAP, 2), dtype)
+        mdepth = np.full((MEAS_CAP,), -1.0, dtype)
+        mvalid = np.zeros((MEAS_CAP,), bool)
+        n = min(len(ids), MEAS_CAP)
+        mid[:n] = ids[:n]
+        mxp[:n] = xpd[:n, :2]
+        mdepth[:n] = xpd[:n, 2]
+        mvalid[:n] = True
+        self.state = self._pc_tracker_step(
+            self.state, jnp.asarray(mid), jnp.asarray(mxp),
+            jnp.asarray(mdepth), jnp.asarray(mvalid))
+        self._last_prop_time = ts
 
     def InitWithSimDepths(self):
         cfg = self.cfg
