@@ -98,6 +98,28 @@ def test_gyro_intrinsics_converge():
     assert np.all(np.sign(d_est - 1.0) == np.sign(d_true - 1.0))
 
 
+def test_camera_intrinsics_respond():
+    """Online camera calibration: principal point converges; focal
+    lengths move (full focal convergence is consistency-limited like the
+    extrinsics — see module notes)."""
+    cfg_json = dict(PCW_CFG)
+    cfg_json["P"] = {**PCW_CFG["P"], "FC": [25.0, 10.0],
+                     "distortion": 1e-8}
+    cfg = config_from_json(cfg_json, dtype="float64",
+                           sim_initialize_depths=True,
+                           online_camera_calib=True)
+    K_true = np.array([[280.0, 0, 322.0], [0, 280.0, 238.0], [0, 0, 1]])
+    s, outs, gt = run_with(cfg, total_time=12.0, motion="calib_rich",
+                           true_K=K_true)
+    cam = np.asarray(s.cam)
+    # principal point: started (320, 240), truth (322, 238)
+    assert abs(cam[2] - 322.0) < abs(320.0 - 322.0)
+    assert abs(cam[3] - 238.0) < abs(240.0 - 238.0)
+    # focal estimates are live (moved off the initial value), bounded
+    assert abs(cam[0] - 275.0) > 0.1
+    assert 260.0 < cam[0] < 300.0 and 260.0 < cam[1] < 300.0
+
+
 def test_calib_off_stays_fixed():
     """Disabled calibration states must not move (zero-covariance freeze)."""
     cfg = base_cfg()

@@ -340,6 +340,9 @@ def config_from_json(cfg: dict, dims: Optional[Dims] = None,
         P_ba=P.get("ba", 1e-3), P_Wbc=P.get("Wbc", 0.0001),
         P_Tbc=tuple(Tbc_std), P_Wsg=P.get("Wsg", 0.01),
         P_td=P.get("td", 0.0), P_Cg=P.get("Cg", 0.0), P_Ca=P.get("Ca", 0.0),
+        P_FC=tuple(P["FC"]) if isinstance(P.get("FC"), (list, tuple))
+        else (P.get("FC", 0.0), P.get("FC", 0.0)),
+        P_distortion=P.get("distortion", 0.0),
         Qmodel_Wsb=Qm.get("Wsb", 0.0), Qmodel_Wbc=Qm.get("Wbc", 0.0),
         Qmodel_Wsg=Qm.get("Wsg", 0.0),
         Qimu_gyro=q3("gyro", 1e-3), Qimu_accel=q3("accel", 1e-2),

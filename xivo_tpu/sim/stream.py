@@ -14,7 +14,7 @@ def build_pcw_stream(cfg: VIOConfig, total_time=10.0, imu_dt=0.01,
                      noise_px=0.5, noise_accel=1e-4, noise_gyro=1e-5,
                      seed=1, world_seed=0, imu_cap=32, meas_cap=256,
                      true_Rbc=None, true_Tbc=None, true_Cg=None,
-                     true_Ca=None, true_td=0.0):
+                     true_Ca=None, true_td=0.0, true_K=None):
     """Simulate and pack one sequence. Returns (FrameInputs, gt dict).
 
     The ``true_*`` arguments inject ground-truth calibration that may
@@ -33,7 +33,8 @@ def build_pcw_stream(cfg: VIOConfig, total_time=10.0, imu_dt=0.01,
                     seed=world_seed)
     rows, cols = int(cfg.cam_params[0]), int(cfg.cam_params[1])
     fx, fy, cx, cy = cfg.cam_params[2:6]
-    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    K = np.asarray(true_K) if true_K is not None \
+        else np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
     import jax.numpy as jnp
     from ..geom import so3
     Rbc = np.asarray(true_Rbc) if true_Rbc is not None \
