@@ -66,7 +66,9 @@ class VIOConfig:
     max_substeps: int = 10           # static bound on substeps per IMU sample
     # "reference": per-substep joint X/F/P integration (PD45/RK4 parity)
     # "fast": discrete transition composition, one P application per frame
+    # "batched": all substeps at once + associative scans (TPU-fastest)
     propagation_mode: str = "reference"
+    total_substeps: int = 64         # static global substep budget/frame
 
     # calibration enables (compile flags in the reference)
     online_temporal_calib: bool = False

@@ -961,7 +961,11 @@ def vio_frame(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel, imu_dt,
     else:
         dt_eff = frame_dt
 
-    if cfg.propagation_mode == "fast":
+    if cfg.propagation_mode == "batched":
+        from .propagate_batched import propagate_frame_batched
+        s = propagate_frame_batched(cfg, s, imu_gyro, imu_accel, imu_dt,
+                                    dt_eff)
+    elif cfg.propagation_mode == "fast":
         s = _propagate_frame_fast(cfg, s, imu_gyro, imu_accel, imu_dt,
                                   dt_eff)
     else:
