@@ -30,8 +30,12 @@ MEAS_CAP = 256    # max point measurements per visual frame
 class Estimator:
     """Drop-in analogue of pyxivo.Estimator for the point-cloud path."""
 
-    def __init__(self, cfg, dims=None, dtype: Optional[str] = None,
-                 **overrides):
+    def __init__(self, cfg, viewer_cfg=None, name: str = "",
+                 tracker_only: bool = False, dims=None,
+                 dtype: Optional[str] = None, **overrides):
+        # positional signature mirrors pyxivo.Estimator(cfg, viewer_cfg,
+        # name, tracker_only) (pybind11/pyxivo.cpp:19-40); viewer_cfg is
+        # accepted for compatibility (viz.py replaces the Pangolin viewer)
         if isinstance(cfg, str):
             cfg = load_json_with_comments(cfg)
         if isinstance(cfg, dict):
@@ -39,6 +43,8 @@ class Estimator:
         if dtype is not None:
             cfg = cfg.__class__(**{**cfg.__dict__, "dtype": dtype})
         self.cfg: VIOConfig = cfg
+        self.name = name
+        self.tracker_only = tracker_only
         self.state: VIOState = init_state(cfg)
         self._step = jax.jit(partial(vio_frame, cfg), donate_argnums=(0,))
 
@@ -85,6 +91,8 @@ class Estimator:
             from ..io import load_image
             image = load_image(image)
         image = np.asarray(image, np.float32)
+        if self.tracker_only:
+            return self.VisualMeasTrackerOnly(ts, image)
         if not self.gravity_initialized:
             return
         if self._fes is None:
@@ -123,6 +131,9 @@ class Estimator:
 
     def VisualMeasPointCloud(self, ts: float, ids, xp_and_depths):
         """Synthetic-measurement frame (VisualMeasPointCloudInternal)."""
+        if self.tracker_only:
+            return self.VisualMeasPointCloudTrackerOnly(ts, ids,
+                                                        xp_and_depths)
         if not self.gravity_initialized:
             return
         ids = np.asarray(ids)

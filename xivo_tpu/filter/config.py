@@ -130,6 +130,11 @@ class VIOConfig:
     # OOS / MSCKF (gated off in the reference; first-class here)
     use_OOS: bool = False
     OOS_min_observations: int = 5
+    # QR measurement compression when a stacked update has more rows
+    # than error-state columns (the reference's present-but-unused
+    # use_compression, src/helpers.cpp:77-101)
+    use_compression: bool = True
+    compression_trigger_ratio: float = 1.0
 
     # mapper / loop closure (USE_MAPPER + mapper_cfg in the reference)
     use_mapper: bool = False

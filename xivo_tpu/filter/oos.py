@@ -162,6 +162,19 @@ def oos_update(cfg: VIOConfig, s: VIOState, candidate_rows) -> VIOState:
     innm = inn_o * rv.astype(dtype)
     diagRm = jnp.where(rv, diagR, 1.0)
 
+    if cfg.use_compression and Hm.shape[0] > int(
+            cfg.compression_trigger_ratio * d.full):
+        # QR measurement compression (use_compression): with iid noise
+        # the orthogonal transform Q^T preserves the information —
+        # rows shrink from the stack size to D
+        Q, Rr = jnp.linalg.qr(Hm, mode="reduced")   # (rows,D),(D,D)
+        Hm = Rr
+        innm = Q.T @ innm
+        rv = jnp.linalg.norm(Hm, axis=1) > 1e-10
+        diagRm = jnp.where(rv, Roos, 1.0)
+        Hm = Hm * rv[:, None].astype(dtype)
+        innm = innm * rv.astype(dtype)
+
     HP = Hm @ s.P
     S = HP @ Hm.T + jnp.diag(diagRm)
     c, lower = jax.scipy.linalg.cho_factor(S, lower=True)
