@@ -29,6 +29,10 @@ IMG_CFG["camera_cfg"] = {"model": "pinhole", "rows": 240, "cols": 320,
                          "fx": 200, "fy": 200, "cx": 160, "cy": 120}
 IMG_CFG["initial_z"] = 8.0
 IMG_CFG["max_depth"] = 40.0
+# parallax-gated admission (see VIOConfig.max_depth_var_for_admission):
+# depths here bootstrap from a rough prior, so features wait until the
+# subfilter has actually observed their depth
+IMG_CFG["max_depth_var_for_admission"] = 0.01
 
 
 def make_world(n=500, seed=0):

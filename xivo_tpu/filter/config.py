@@ -100,6 +100,11 @@ class VIOConfig:
     # slots run out (only relevant in the first seconds); a small static
     # bound keeps the compiled admission loop short on TPU
     max_group_admissions: int = 4
+    # parallax-gated admission (improvement over the reference): only
+    # admit features whose subfilter depth variance (log-depth) has
+    # dropped below this bound — i.e. whose depth has become observable.
+    # inf reproduces the reference's admit-after-ready_steps behavior.
+    max_depth_var_for_admission: float = float("inf")
     strict_criteria_timesteps: int = 5
     num_gauge_xy_features: int = 3
     collinear_cross_prod_thresh: float = 1e-3
@@ -398,5 +403,12 @@ def config_from_json(cfg: dict, dims: Optional[Dims] = None,
         lc_ransac_thresh=cfg.get("mapper_cfg", {}).get("RANSAC", {}).get(
             "threshold", 0.03),
     )
+    # generic passthrough: any flat top-level key naming a VIOConfig field
+    # (covers extension knobs like max_depth_var_for_admission,
+    # propagation_mode, use_OOS overrides in JSON configs)
+    valid = set(VIOConfig.__dataclass_fields__)
+    for k, v in cfg.items():
+        if k in valid and k not in kw:
+            kw[k] = tuple(v) if isinstance(v, list) else v
     kw.update(overrides)
     return VIOConfig(**kw)

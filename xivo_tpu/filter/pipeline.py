@@ -380,9 +380,12 @@ def _candidate_mask(cfg: VIOConfig, s: VIOState):
                           (fr.status == FS_READY)
                           | (fr.status == FS_INITIALIZING))
     z = jnp.exp(fr.x[:, 2])
-    return (fr.active & (fr.sind < 0) & (fr.track == TS_TRACKED) & status_ok
-            & (fr.outlier_counter < 0.01)
-            & (z > cfg.min_z) & (z < cfg.max_z))
+    ok = (fr.active & (fr.sind < 0) & (fr.track == TS_TRACKED) & status_ok
+          & (fr.outlier_counter < 0.01)
+          & (z > cfg.min_z) & (z < cfg.max_z))
+    if cfg.max_depth_var_for_admission != float("inf"):
+        ok = ok & (fr.Psub[:, 2, 2] < cfg.max_depth_var_for_admission)
+    return ok
 
 
 def _admission_score(fr: FeatureTable):
