@@ -44,6 +44,13 @@ def load_image(path: str) -> np.ndarray:
     if ext == ".npy":
         img = np.load(path)
     elif ext in (".pgm", ".ppm"):
+        # prefer the native decoder (xivo_tpu/native) when built
+        try:
+            from .. import native
+            if native.get_lib() is not None:
+                return native.load_pgm(path)
+        except Exception:
+            pass
         img = _load_pnm(path)
     else:
         try:
