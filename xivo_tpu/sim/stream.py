@@ -14,7 +14,7 @@ def build_pcw_stream(cfg: VIOConfig, total_time=10.0, imu_dt=0.01,
                      noise_px=0.5, noise_accel=1e-4, noise_gyro=1e-5,
                      seed=1, world_seed=0, imu_cap=32, meas_cap=256,
                      true_Rbc=None, true_Tbc=None, true_Cg=None,
-                     true_Ca=None, true_td=0.0, true_K=None):
+                     true_Ca=None, true_td=0.0, true_K=None, world=None):
     """Simulate and pack one sequence. Returns (FrameInputs, gt dict).
 
     The ``true_*`` arguments inject ground-truth calibration that may
@@ -29,8 +29,8 @@ def build_pcw_stream(cfg: VIOConfig, total_time=10.0, imu_dt=0.01,
     """
     imu = get_imu_sim(motion, T=total_time + 1.0, noise_accel=noise_accel,
                       noise_gyro=noise_gyro, seed=seed)
-    pcw = RandomPCW([-10, 10], [-10, 10], [-5, 5], n_points=n_points,
-                    seed=world_seed)
+    pcw = world if world is not None else RandomPCW(
+        [-10, 10], [-10, 10], [-5, 5], n_points=n_points, seed=world_seed)
     rows, cols = int(cfg.cam_params[0]), int(cfg.cam_params[1])
     fx, fy, cx, cy = cfg.cam_params[2:6]
     K = np.asarray(true_K) if true_K is not None \
