@@ -28,7 +28,7 @@ from tests.test_e2e_pcw import PCW_CFG
 
 
 def main():
-    B = int(os.environ.get("BENCH_BATCH", "32"))
+    B = int(os.environ.get("BENCH_BATCH", "64"))
     total_time = float(os.environ.get("BENCH_SECONDS", "5.0"))
 
     cfg = config_from_json(

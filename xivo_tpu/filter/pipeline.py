@@ -475,7 +475,18 @@ def _admit_features_within_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
 
 def _discard_affected_groups(cfg: VIOConfig, s: VIOState, affected):
     """DiscardAffectedGroups + ownership transfer (src/manager.cpp:310-328,
-    src/graph.cpp:174-232)."""
+    src/graph.cpp:174-232). The body runs under a runtime cond — most
+    frames have no affected groups."""
+    def run(s):
+        return _discard_affected_groups_impl(cfg, s, affected)
+
+    def skip(s):
+        return s, jnp.asarray(False)
+
+    return jax.lax.cond(jnp.any(affected), run, skip, s)
+
+
+def _discard_affected_groups_impl(cfg: VIOConfig, s: VIOState, affected):
     fr, gr = s.features, s.groups
     NG = gr.gid.shape[0]
     NF = fr.fid.shape[0]
@@ -609,25 +620,32 @@ def _refresh_gauge_features(cfg: VIOConfig, s: VIOState) -> VIOState:
     deficit = jnp.where(gr.instate,
                         cfg.num_gauge_xy_features - n_gauge, 0)
 
-    cand = fr.active & (fr.status == FS_INSTATE) & (fr.sind >= 0) \
-        & (fr.ref >= 0)
-    # rank candidates within their ref group by row order
-    lower = jnp.tril(jnp.ones((NF, NF), bool), k=-1)
-    same = fr.ref[:, None] == fr.ref[None, :]
-    rank = jnp.sum(lower & same & cand[None, :] & cand[:, None], axis=1)
-    promote = cand & (rank < deficit[jnp.clip(fr.ref, 0, NG - 1)])
+    def run(s):
+        fr = s.features
+        cand = fr.active & (fr.status == FS_INSTATE) & (fr.sind >= 0) \
+            & (fr.ref >= 0)
+        # rank candidates within their ref group by row order
+        lower = jnp.tril(jnp.ones((NF, NF), bool), k=-1)
+        same = fr.ref[:, None] == fr.ref[None, :]
+        rank = jnp.sum(lower & same & cand[None, :] & cand[:, None],
+                       axis=1)
+        promote = cand & (rank < deficit[jnp.clip(fr.ref, 0, NG - 1)])
 
-    fr = fr._replace(status=jnp.where(promote, FS_GAUGE, fr.status))
-    # freeze XY covariance of promoted slots
-    slot_mask2 = jnp.zeros((cfg.dims.n_features, 3), bool)
-    tgt = jnp.where(promote, fr.sind, cfg.dims.n_features)
-    slot_mask2 = slot_mask2.at[tgt, 0].set(True)
-    slot_mask2 = slot_mask2.at[tgt, 1].set(True)
-    keep = jnp.ones((cfg.dims.full,), s.P.dtype)
-    keep = keep.at[cfg.dims.feature_begin:].set(
-        jnp.where(slot_mask2.reshape(-1), 0.0, 1.0))
-    P = zero_state_entries(s.P, keep > 0)
-    return s._replace(features=fr, P=P)
+        fr = fr._replace(status=jnp.where(promote, FS_GAUGE, fr.status))
+        # freeze XY covariance of promoted slots
+        slot_mask2 = jnp.zeros((cfg.dims.n_features, 3), bool)
+        tgt = jnp.where(promote, fr.sind, cfg.dims.n_features)
+        slot_mask2 = slot_mask2.at[tgt, 0].set(True)
+        slot_mask2 = slot_mask2.at[tgt, 1].set(True)
+        keep = jnp.ones((cfg.dims.full,), s.P.dtype)
+        keep = keep.at[cfg.dims.feature_begin:].set(
+            jnp.where(slot_mask2.reshape(-1), 0.0, 1.0))
+        P = zero_state_entries(s.P, keep > 0)
+        return s._replace(features=fr, P=P)
+
+    # most frames have no gauge deficit — cond keeps them cheap
+    need = jnp.any((deficit > 0) & gr.instate)
+    return jax.lax.cond(need, run, lambda s: s, s)
 
 
 def _switch_gauge_group(cfg: VIOConfig, s: VIOState) -> VIOState:
