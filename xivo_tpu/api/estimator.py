@@ -46,6 +46,17 @@ class Estimator:
         self.name = name
         self.tracker_only = tracker_only
         self.state: VIOState = init_state(cfg)
+        if cfg.use_mapper:
+            from ..map import init_map
+            from ..map.integration import vio_frame_mapped
+            import jax.numpy as _jnp
+            self._map = init_map(cfg.map_capacity,
+                                 dtype=_jnp.dtype(cfg.dtype))
+            self._mapped_step = jax.jit(partial(vio_frame_mapped, cfg),
+                                        donate_argnums=(0, 1))
+        else:
+            self._map = None
+            self._mapped_step = None
         self._step = jax.jit(partial(vio_frame, cfg), donate_argnums=(0,))
 
         self.gravity_initialized = cfg.simulation  # sims skip gravity init
@@ -266,11 +277,20 @@ class Estimator:
         mdepth[:n] = xpd[:n, 2]
         mvalid[:n] = True
 
-        self.state, out = self._step(
-            self.state, jnp.asarray(gyro), jnp.asarray(accel),
-            jnp.asarray(dts), jnp.asarray(dtype.type(frame_dt)),
-            jnp.asarray(mid), jnp.asarray(mxp), jnp.asarray(mdepth),
-            jnp.asarray(mvalid))
+        if self._mapped_step is not None:
+            self.state, self._map, out, n_lc = self._mapped_step(
+                self.state, self._map, jnp.asarray(gyro),
+                jnp.asarray(accel), jnp.asarray(dts),
+                jnp.asarray(dtype.type(frame_dt)), jnp.asarray(mid),
+                jnp.asarray(mxp), jnp.asarray(mdepth),
+                jnp.asarray(mvalid))
+            self._last_n_lc = int(n_lc)
+        else:
+            self.state, out = self._step(
+                self.state, jnp.asarray(gyro), jnp.asarray(accel),
+                jnp.asarray(dts), jnp.asarray(dtype.type(frame_dt)),
+                jnp.asarray(mid), jnp.asarray(mxp), jnp.asarray(mdepth),
+                jnp.asarray(mvalid))
         self._last_out = out
 
     # ------------------------------------------------------------------
@@ -496,14 +516,15 @@ class Estimator:
         return plot_tracks(self, save_path)
 
     def CloseLoop(self):
-        """Loop-closure step against the accumulated map (stream mode)."""
-        if not self.cfg.use_mapper:
+        """Explicit loop-closure step against the accumulated map.
+
+        When use_mapper is on, the per-frame step already closes loops
+        (vio_frame_mapped); this triggers an extra pass — the
+        `est->CloseLoop()` call of the vio app (src/app/vio.cpp:75-77).
+        """
+        if not self.cfg.use_mapper or self._map is None:
             return 0
-        from ..map import close_loop, init_map
-        if not hasattr(self, "_map") or self._map is None:
-            self._map = init_map(self.cfg.map_capacity,
-                                 dtype=np.dtype(self.cfg.dtype))
-            return 0
+        from ..map import close_loop
         self.state, n = close_loop(
             self.cfg, self.state, self._map,
             nn_dist_thresh=self.cfg.lc_nn_dist_thresh,

@@ -893,6 +893,14 @@ def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
     s = s._replace(P=P)
     s = absorb_error(cfg, s, err)
 
+    # record predicted pixels for accessors / LK seeding
+    # (Feature::Predict bookkeeping, src/estimator.cpp:1251)
+    fr = s.features
+    tgt_rows = jnp.where(sj2.valid, s.f2row, cfg.dims.nf_rows)
+    fr = fr._replace(pred=fr.pred.at[tgt_rows].set(
+        sj2.pred.astype(fr.pred.dtype)))
+    s = s._replace(features=fr)
+
     # post-update bookkeeping
     s = _create_group_and_init_tracks(cfg, s)
     s = _adapt_initial_depth(cfg, s)
