@@ -398,49 +398,71 @@ def _admission_score(fr: FeatureTable):
 
 
 def _admit_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
-    """AddGroupOfFeatures (src/manager.cpp:469-566) as a bounded loop.
+    """AddGroupOfFeatures (src/manager.cpp:469-566), single pass.
 
-    Each iteration admits (at most) the best eligible non-instate group
-    with its READY candidate features.
+    The reference loops group-by-group; here all admissions of the frame
+    happen at once: groups ranked by candidate count, admitted while
+    group slots and the cumulative feature budget allow, and their
+    covariance initialization — a copy of the current (Wsb, Tsb) rows —
+    is ONE gather P[idx][:, idx] for every admitted slot simultaneously.
     """
     d = cfg.dims
     NG = d.ng_rows
     NF = d.nf_rows
+    G = d.n_groups
+    fr, gr = s.features, s.groups
 
-    def body(_, s: VIOState) -> VIOState:
+    cand = _candidate_mask(cfg, s) & (fr.status == FS_READY)
+    ref_oh = (fr.ref[:, None] == jnp.arange(NG)[None, :]) & cand[:, None]
+    n_cand = jnp.sum(ref_oh, axis=0)
+    free_fslots = jnp.sum((s.f2row < 0).astype(jnp.int32))
+    free_gslots = jnp.sum((s.g2row < 0).astype(jnp.int32))
+    eligible = gr.active & (gr.sind < 0) \
+        & (n_cand >= cfg.num_gauge_xy_features)
+
+    # rank eligible groups by candidate count (desc); admit while the
+    # cumulative feature demand fits the free feature slots and group
+    # slots remain (the loop-termination conditions of the reference)
+    order = jnp.argsort(jnp.where(eligible, -n_cand, 1))
+    demand = jnp.where(eligible, n_cand, 0)[order]
+    cum_before = jnp.cumsum(demand) - demand
+    rank = jnp.arange(NG)
+    take_sorted = eligible[order] & (rank < free_gslots) \
+        & (rank < cfg.max_group_admissions) \
+        & (cum_before < jnp.maximum(
+            free_fslots - max(cfg.num_gauge_xy_features, 1) + 1, 0))
+    take = jnp.zeros((NG,), bool).at[order].set(take_sorted)
+
+    def admit(s: VIOState) -> VIOState:
         fr, gr = s.features, s.groups
-        cand = _candidate_mask(cfg, s) & (fr.status == FS_READY)
-        # per-group candidate counts over non-instate groups
-        ref_oh = (fr.ref[:, None] == jnp.arange(NG)[None, :]) \
-            & cand[:, None]
-        n_cand = jnp.sum(ref_oh, axis=0)
-        free_fslots = jnp.sum((s.f2row < 0).astype(jnp.int32))
-        free_gslots = jnp.sum((s.g2row < 0).astype(jnp.int32))
-        nge = max(cfg.num_gauge_xy_features, 1)
-        eligible = gr.active & (gr.sind < 0) \
-            & (n_cand >= cfg.num_gauge_xy_features)
-        can = (free_gslots > 0) & (free_fslots >= nge) & jnp.any(eligible)
+        # assign group slots to taken rows
+        gslot_of_row, got_g = _rank_assign(
+            s.g2row < 0, take, -n_cand.astype(s.P.dtype))
+        tgt = jnp.where(got_g, gslot_of_row, G)
+        gr = gr._replace(sind=jnp.where(got_g, gslot_of_row.astype(
+            jnp.int32), gr.sind))
+        g2row = s.g2row.at[tgt].set(jnp.arange(NG, dtype=jnp.int32))
+        # covariance init for ALL new slots at once: every entry of an
+        # admitted slot's block reads from the (Wsb, Tsb) rows
+        new_slot = jnp.zeros((G,), bool).at[tgt].set(True)
+        base = jnp.arange(d.full)
+        within = (base - L.GROUP_BEGIN) % 6
+        slot_of_entry = jnp.clip((base - L.GROUP_BEGIN) // 6, 0, G - 1)
+        src_motion = jnp.where(within < 3, L.WSB + within,
+                               L.TSB + (within - 3))
+        in_group_region = (base >= L.GROUP_BEGIN) \
+            & (base < L.GROUP_BEGIN + 6 * G)
+        idx = jnp.where(in_group_region & new_slot[slot_of_entry],
+                        src_motion, base)
+        P = s.P[idx][:, idx]
+        s = s._replace(groups=gr, g2row=g2row, P=P)
+        # admit candidate features of all taken groups in one pass
+        want = cand & take[jnp.clip(fr.ref, 0, NG - 1)] & (fr.ref >= 0)
+        slot_of_row, got = _rank_assign(
+            s.f2row < 0, want, _admission_score(fr))
+        return _commit_feature_admissions(cfg, s, slot_of_row, got)
 
-        def admit(s: VIOState) -> VIOState:
-            fr, gr = s.features, s.groups
-            grow = jnp.argmax(jnp.where(eligible, n_cand, -1))
-            gslot = jnp.argmax(s.g2row < 0).astype(jnp.int32)
-            # group bookkeeping
-            gr = gr._replace(sind=gr.sind.at[grow].set(gslot))
-            g2row = s.g2row.at[gslot].set(grow.astype(jnp.int32))
-            P = _add_group_to_state_P(cfg, s.P, gslot)
-            s = s._replace(groups=gr, g2row=g2row, P=P)
-            # admit its candidate features
-            want = cand & (fr.ref == grow)
-            slot_of_row, got = _rank_assign(
-                s.f2row < 0, want, _admission_score(fr))
-            s = _commit_feature_admissions(cfg, s, slot_of_row, got)
-            return s
-
-        return jax.lax.cond(can, admit, lambda s: s, s)
-
-    return jax.lax.fori_loop(
-        0, min(cfg.max_group_admissions, d.n_groups), body, s)
+    return jax.lax.cond(jnp.any(take), admit, lambda s: s, s)
 
 
 def _commit_feature_admissions(cfg: VIOConfig, s: VIOState, slot_of_row,
