@@ -1,0 +1,98 @@
+"""Image-path benchmark: full LK/FAST VIO frames on rendered imagery.
+
+Measures the loaded-filter image pipeline (512x512) on TPU — the
+TUM-VI-shaped workload (BASELINE configs 1/3) on synthetic renders.
+Prints one JSON line (not the driver bench; that is bench.py).
+"""
+import json
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_default_matmul_precision", "float32")
+
+import jax.numpy as jnp
+import numpy as np
+
+from xivo_tpu.filter.config import config_from_json
+from xivo_tpu.filter.state import init_state
+from xivo_tpu.frontend import init_frontend, vio_frame_image
+from xivo_tpu.geom import so3
+from xivo_tpu.sim import get_imu_sim
+from xivo_tpu.sim.render import render_dots
+from tests.test_image_vio import IMG_CFG, make_world
+
+
+def main():
+    cfg_json = dict(IMG_CFG)
+    cfg_json["camera_cfg"] = {"model": "pinhole", "rows": 512, "cols": 512,
+                              "fx": 191.0, "fy": 191.0, "cx": 256.0,
+                              "cy": 256.0}
+    cfg = config_from_json(cfg_json, dtype="float32",
+                           propagation_mode="fast")
+    imu = get_imu_sim("gentle", T=8.0, noise_accel=1e-4, noise_gyro=1e-5,
+                      seed=1)
+    Xs = make_world(800, seed=2)
+    K = np.array([[191.0, 0, 256], [0, 191, 256], [0, 0, 1]])
+    Rbc = np.asarray(so3.exp(jnp.asarray(cfg.X_Wbc)))
+    Tbc = np.asarray(cfg.X_Tbc)
+
+    # pre-render the sequence (host) and pre-pack IMU
+    T_total, vis_dt, imu_dt = 6.0, 0.05, 0.01
+    frames = []
+    t_prev = 0.0
+    t = vis_dt
+    while t < T_total:
+        gys = np.zeros((8, 3), np.float32)
+        acs = np.zeros((8, 3), np.float32)
+        dts = np.zeros((8,), np.float32)
+        i = 0
+        ti = t_prev + imu_dt
+        while ti <= t + 1e-9 and i < 8:
+            a, g = imu.meas(ti)
+            gys[i], acs[i], dts[i] = g, a, imu_dt
+            ti += imu_dt
+            i += 1
+        fdt = max(t - t_prev - imu_dt * i, 0.0)
+        Rsb, Tsb = imu.gsb(t)
+        img = render_dots(Xs, Rsb @ Rbc, Rsb @ Tbc + Tsb, K, 512, 512)
+        frames.append((jnp.asarray(gys), jnp.asarray(acs),
+                       jnp.asarray(dts), jnp.float32(fdt),
+                       jnp.asarray(img)))
+        t_prev = t
+        t += vis_dt
+
+    s = init_state(cfg)
+    a0, g0 = imu.meas(0.0)
+    s = s._replace(last_gyro=jnp.asarray(g0, np.float32),
+                   last_accel=jnp.asarray(a0, np.float32))
+    fes = init_frontend(cfg)
+    step = jax.jit(partial(vio_frame_image, cfg), donate_argnums=(0, 1))
+
+    # warmup pass (also loads the filter)
+    for f in frames[:20]:
+        s, fes, out = step(s, *f)
+    jax.block_until_ready(out.Tsb)
+
+    t0 = time.perf_counter()
+    for f in frames[20:]:
+        s, fes, out = step(s, *f)
+    jax.block_until_ready(out.Tsb)
+    wall = time.perf_counter() - t0
+    n = len(frames) - 20
+    print(json.dumps({
+        "metric": "image_vio_frames_per_s_single_stream",
+        "value": round(n / wall, 1),
+        "unit": "frames/s", "ms_per_frame": round(wall / n * 1e3, 2),
+        "image": "512x512", "tracks": int(out.num_tracked),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
