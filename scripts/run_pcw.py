@@ -79,6 +79,10 @@ def main():
     ap.add_argument("-noise_accel", type=float, default=1e-4)
     ap.add_argument("-noise_gyro", type=float, default=1e-5)
     ap.add_argument("-use_sim_depth", action="store_true")
+    ap.add_argument("-depth_gate", type=float, default=-1.0,
+                    help="parallax-gated admission threshold (log-depth "
+                    "variance); recommended 0.01 when NOT using "
+                    "-use_sim_depth")
     ap.add_argument("-dtype", type=str, default="float64")
     ap.add_argument("-verbose", action="store_true")
     args = ap.parse_args()
@@ -89,7 +93,10 @@ def main():
     pcw = RandomPCW([-10, 10], [-10, 10], [-5, 5], n_points=args.npts,
                     seed=0)
     cfg = config_from_json(PCW_CFG)
-    cfg = cfg.__class__(**{**cfg.__dict__, "dtype": args.dtype})
+    over = {"dtype": args.dtype}
+    if args.depth_gate > 0:
+        over["max_depth_var_for_admission"] = args.depth_gate
+    cfg = cfg.__class__(**{**cfg.__dict__, **over})
     est = Estimator(cfg)
     if args.use_sim_depth:
         est.InitWithSimDepths()

@@ -93,6 +93,19 @@ def tracker_image(cfg: VIOConfig, s: VIOState, fes: FrontendState,
             thresh=cfg.homography_reproj_thresh)
         tracked = tracked & inl
 
+    if cfg.extract_descriptor and cfg.descriptor_distance_thresh > 0:
+        # descriptor-drift check on tracked points (UpdateLK's optional
+        # descriptor gate, src/tracker.cpp:520-560): re-extract at the
+        # new position and drop tracks whose BRIEF changed too much
+        from .image import blur5 as _blur5
+        sm0 = _blur5(pyr_new[0])
+        new_desc = jax.vmap(lambda p: brief.extract(sm0, p))(new_xy)
+        ddist = brief.hamming(fr.desc, new_desc)
+        keep_desc = ddist < cfg.descriptor_distance_thresh
+        tracked = tracked & keep_desc
+        fr = fr._replace(desc=jnp.where(tracked[:, None], new_desc,
+                                        fr.desc))
+
     dropped = active & ~tracked
 
     fr = fr._replace(
