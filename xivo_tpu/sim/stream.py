@@ -9,12 +9,54 @@ from .imu_sim import IMUSim, get_imu_sim
 from .pcw import RandomPCW
 
 
+def _generate_with_cfg_camera(pcw, cfg: VIOConfig, Rsc, Tsc, imw, imh,
+                              noise_px_std):
+    """Project world points through the config's (possibly distorted)
+    camera model — makes non-pinhole models testable end-to-end."""
+    import jax
+    import jax.numpy as jnp
+    from .. import cam as cam_mod
+    kind, intrin, _ = cam_mod.intrinsics_from_cfg(
+        dict(model=cfg.cam_model, rows=imh, cols=imw,
+             fx=cfg.cam_params[2], fy=cfg.cam_params[3],
+             cx=cfg.cam_params[4], cy=cfg.cam_params[5],
+             **{k: v for k, v in zip(
+                 ("p1", "p2", "k1", "k2", "k3") if cfg.cam_model ==
+                 "radtan" else ("k0", "k1", "k2", "k3")
+                 if cfg.cam_model in ("equi", "equidistant") else ("w",),
+                 cfg.cam_params[6:])}))
+    Xc = (pcw.Xs - Tsc[None, :]) @ Rsc
+    z = Xc[:, 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xn = Xc[:, :2] / z[:, None]
+    xp = np.asarray(jax.vmap(
+        lambda v: cam_mod.project(kind, intrin, v))(jnp.asarray(xn)))
+    vis = (z > 0.1) & np.isfinite(xp).all(axis=1) \
+        & (xp[:, 0] >= 0) & (xp[:, 1] >= 0) \
+        & (xp[:, 0] <= imw) & (xp[:, 1] <= imh)
+    # polynomial distortion models (radtan) fold large off-axis angles
+    # back into the image; restrict to the invertible region like a real
+    # lens hood would
+    if cfg.cam_model == "radtan":
+        vis &= np.linalg.norm(xn, axis=1) < 0.8
+    if noise_px_std > 0:
+        xp = xp + noise_px_std * pcw.rng.standard_normal(xp.shape)
+    newly = vis & (pcw.ids < 0)
+    n_new = int(newly.sum())
+    pcw.ids[newly] = np.arange(pcw.next_id, pcw.next_id + n_new)
+    pcw.next_id += n_new
+    pcw.ids[~vis] = -1
+    return pcw.ids[vis].copy(), np.concatenate(
+        [xp[vis], z[vis, None]], axis=1)
+
+
 def build_pcw_stream(cfg: VIOConfig, total_time=10.0, imu_dt=0.01,
                      vision_dt=0.05, motion="gentle", n_points=600,
                      noise_px=0.5, noise_accel=1e-4, noise_gyro=1e-5,
                      seed=1, world_seed=0, imu_cap=32, meas_cap=256,
                      true_Rbc=None, true_Tbc=None, true_Cg=None,
-                     true_Ca=None, true_td=0.0, true_K=None, world=None):
+                     true_Ca=None, true_td=0.0, true_K=None, world=None,
+                     use_cfg_camera=False):
     """Simulate and pack one sequence. Returns (FrameInputs, gt dict).
 
     The ``true_*`` arguments inject ground-truth calibration that may
@@ -69,8 +111,12 @@ def build_pcw_stream(cfg: VIOConfig, total_time=10.0, imu_dt=0.01,
         Rsb, Tsb = imu.gsb(tv + true_td)
         Rsc = Rsb @ Rbc
         Tsc = Rsb @ Tbc + Tsb
-        ids, xpd = pcw.generate_measurements(Rsc, Tsc, K, cols, rows,
-                                             noise_px)
+        if use_cfg_camera:
+            ids, xpd = _generate_with_cfg_camera(
+                pcw, cfg, Rsc, Tsc, cols, rows, noise_px)
+        else:
+            ids, xpd = pcw.generate_measurements(Rsc, Tsc, K, cols, rows,
+                                                 noise_px)
         frames.append(dict(imu=pending, frame_dt=max(tv - t_prev, 0.0),
                            ids=ids, xp=xpd[:, :2], depth=xpd[:, 2]))
         pending = []
