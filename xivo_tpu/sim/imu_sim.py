@@ -127,6 +127,22 @@ def get_imu_sim(motion_type: str = "lissajous", **kw) -> IMUSim:
                              0.08 * np.sin(0.3 * t)])
         kw.setdefault("init_Vsb", np.zeros(3))
         return IMUSim(accel_s, gyro, **kw)
+    if motion_type == "orbit":
+        # bounded trajectory for long-horizon runs: circular orbit of
+        # radius ~1.4 m + vertical bob, zero-mean velocity, starts at
+        # rest-equivalent phase (velocity continuous with init_Vsb)
+        w1, w2 = 0.45, 0.9
+
+        def accel_s(t):
+            return np.array([-2.0 * w1 * w1 * np.sin(w1 * t),
+                             -2.0 * w1 * w1 * np.cos(w1 * t),
+                             -0.5 * w2 * w2 * np.sin(w2 * t)])
+
+        def gyro(t):
+            return np.array([0.10 * np.sin(0.3 * t), 0.08 * np.sin(0.4 * t),
+                             0.06 * np.sin(0.2 * t)])
+        kw.setdefault("init_Vsb", np.array([2.0 * w1, 0.0, 0.5 * w2]))
+        return IMUSim(accel_s, gyro, **kw)
     if motion_type == "calib_rich":
         # rotation-rich excitation for observability of camera-IMU
         # extrinsics / IMU intrinsics / time offset (the role of the
