@@ -100,6 +100,11 @@ class VIOConfig:
     # slots run out (only relevant in the first seconds); a small static
     # bound keeps the compiled admission loop short on TPU
     max_group_admissions: int = 4
+    # correlated feature-initialization covariance (the reference's
+    # APPROXIMATE_INIT_COVARIANCE compile flag): write cross-covariance
+    # between a newly admitted feature and the extrinsics/group poses
+    # its estimate was filtered through
+    approximate_init_covariance: bool = False
     # parallax-gated admission (improvement over the reference): only
     # admit features whose subfilter depth variance (log-depth) has
     # dropped below this bound — i.e. whose depth has become observable.

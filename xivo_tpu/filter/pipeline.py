@@ -481,7 +481,15 @@ def _commit_feature_admissions(cfg: VIOConfig, s: VIOState, slot_of_row,
     row_of_slot = jnp.full((d.n_features,), -1, jnp.int32).at[
         tgt_slot].set(jnp.arange(NF, dtype=jnp.int32))
     P = _add_feature_blocks(cfg, s.P, fr, new_slot_mask, row_of_slot)
-    return s._replace(features=fr, f2row=f2row, P=P)
+    s = s._replace(features=fr, f2row=f2row, P=P)
+    if cfg.approximate_init_covariance:
+        from .init_cov import add_init_correlations
+        s = jax.lax.cond(
+            jnp.any(new_slot_mask),
+            lambda s: add_init_correlations(cfg, s, new_slot_mask,
+                                            row_of_slot),
+            lambda s: s, s)
+    return s
 
 
 def _admit_features_within_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
