@@ -1,36 +1,56 @@
-"""Correlated feature-initialization covariance. EXPERIMENTAL.
-
-STATUS: default-off (`approximate_init_covariance=False`) and known
-unstable in the full pipeline — the joint-PSD construction holds in
-isolation but the e2e interaction with gauge freezing / slot churn
-still produces indefinite covariances. Round-2 work item
-(ARCHITECTURE.md roadmap #1); kept as the starting point.
-
-Derivation notes:
+"""Correlated feature-initialization covariance.
 
 Port of the reference's APPROXIMATE_INIT_COVARIANCE capability
 (src/feature.cpp RefineDepth use_hessian block + FillCovarianceBlock
 cross terms): a feature's local estimate x was obtained by filtering its
-observations THROUGH the current pose/extrinsics estimates, so its error
-is correlated with theirs. Ignoring that (the default, and the
-reference's default) makes the joint state overconfident and lets
-extrinsics absorb map error.
+observations THROUGH the current pose/extrinsics/intrinsics estimates,
+so its error is correlated with theirs. Ignoring that (the reference's
+default) makes the joint state overconfident and lets the calibration
+states absorb map-consistency error.
 
 First-order model over the feature's observation history (the surviving
-instate-group observations in the adjacency):
+instate-group observations in the adjacency): each stored observation
+from instate group g satisfies
 
-    0 ~= Hx dx + Hc d(Wbc,Tbc) + Hr_g dg + noise     per observation
-    dx ~= -A sum(Hx^T W [Hc dc + Hr dg]) + A Hx^T W v,
-    A = (sum Hx^T W Hx + eps I)^-1
+    0 ~= Hx dx + Ho do + v,    v ~ N(0, Rtri)
 
-giving cross-covariances  cov(x, c) = -A M_c P_cc,
-cov(x, g) = -A M_g P_gg  and the inflation
-P_xx += A (M_c P_cc M_c^T + sum M_g P_gg M_g^T) A^T.
+where o = (Wbc, Tbc, cam intrinsics, all group poses) and Ho collects
+the extrinsics block, the intrinsics block, the OBSERVING group-pose
+block, and the REFERENCE group-pose block (the feature is anchored in
+the ref camera frame, so its batch estimate depends on the ref pose
+too). Solving the weighted normal equations to first order,
+
+    dx = J do + A Hx^T W v,    J = -(Hx^T W Hx)^{-1} Hx^T W Ho
+
+so the EXACT first-order joint covariance after admitting features
+x_1..x_k (independent noises v_i) is
+
+    cov(x_i, z)   = J_i P[o, z]        for every existing state z
+    cov(x_i, x_j) = J_i P_oo J_j^T     (i != j)
+    cov(x_i, x_i) = S_i + J_i P_oo J_i^T
+
+with S_i the subfilter covariance already placed on the block diagonal
+by ``_add_feature_blocks``. This is a congruence
+
+    P' = [[I], [J.]] P [[I], [J.]]^T + blkdiag(0, S)
+
+and therefore unconditionally PSD — including under gauge freezing
+(zeroed rows of P contribute zero correlation) and sequential admission
+batches (each batch augments the already-correlated P). The earlier
+experimental version wrote only the o-columns of the cross row and only
+the block-diagonal inflation; the missing cross-feature and
+cross-to-everything terms are exactly what made it indefinite e2e.
+
+All measurement blocks follow the FD-validated frame chain of
+``features.compute_jacobian`` (Feature::ComputeJacobian,
+src/feature.cpp:542-656) with the observing group's stored pose in
+place of the current body pose.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import cam as cam_mod
 from ..geom import so3
@@ -40,10 +60,51 @@ from .features import project_persp, unproject_logz
 from .state import VIOState
 
 
-def _obs_blocks(cfg: VIOConfig, s: VIOState, row):
-    """Per-instate-group-slot measurement blocks for one feature row.
+def obs_jacobian(kind: int, intrin, Rbc, Tbc, Rsbr, Tsbr, Rg, Tg, x,
+                 dtype):
+    """Blocks of one stored observation: feature x (anchored at ref pose
+    Rsbr/Tsbr) reprojected through extrinsics Rbc/Tbc into the camera at
+    group pose Rg/Tg. Returns (Hx(2,3), Hc(2,6), Hg(2,6), Hr(2,6),
+    Hcam(2,NCAM), good). Same chain and error conventions as
+    ``features.compute_jacobian`` (validated against it in
+    tests/test_init_cov.py)."""
+    Rbc_t = Rbc.T
+    Xc, dXc_dx = unproject_logz(x)
+    Xbr = Rbc @ Xc + Tbc
+    Xs = Rsbr @ Xbr + Tsbr
+    Rg_t = Rg.T
+    Xb = Rg_t @ (Xs - Tg)
+    Xcn = Rbc_t @ (Xb - Tbc)
+    good = Xcn[2] > 1e-6
+    Xcn_s = jnp.where(good, Xcn, jnp.array([0.0, 0.0, 1.0], dtype))
+    xcn, dxcn_dXcn = project_persp(Xcn_s)
+    _, dxp_dxcn, dxp_dintrin = cam_mod.project_with_jac(kind, intrin, xcn)
+    dxp_dXcn = dxp_dxcn @ dxcn_dXcn
+    dXcn_dXs = Rbc_t @ Rg_t
+    Hx = dxp_dXcn @ dXcn_dXs @ Rsbr @ Rbc @ dXc_dx
+    # extrinsics appear on BOTH sides of the chain: anchor->spatial
+    # (through the ref pose) and spatial->current camera
+    HWbc = dxp_dXcn @ (so3.hat(Xcn_s)
+                       + dXcn_dXs @ Rsbr @ (-Rbc @ so3.hat(Xc)))
+    HTbc = dxp_dXcn @ (-Rbc_t + dXcn_dXs @ Rsbr)
+    # observing group pose (plays the role of Wsb/Tsb in the chain)
+    HWg = dxp_dXcn @ Rbc_t @ so3.hat(Xb)
+    HTg = dxp_dXcn @ (-dXcn_dXs)
+    # reference group pose
+    HWr = dxp_dXcn @ dXcn_dXs @ (-Rsbr @ so3.hat(Xbr))
+    HTr = dxp_dXcn @ dXcn_dXs
+    Hc = jnp.concatenate([HWbc, HTbc], axis=1)
+    Hg = jnp.concatenate([HWg, HTg], axis=1)
+    Hr = jnp.concatenate([HWr, HTr], axis=1)
+    return Hx, Hc, Hg, Hr, dxp_dintrin, good
 
-    Returns (N (3,3), Mc (3,6), Mg (G,3,6)) accumulated with W = 1/Rtri.
+
+def _obs_blocks(cfg: VIOConfig, s: VIOState, row):
+    """Normal-equation blocks for one feature row.
+
+    Returns (N, M): N = sum Hx^T W Hx (3,3) and M = sum Hx^T W Ho
+    (3, K) with K = 6 + NCAM + 6*n_groups, o-layout
+    [Wbc Tbc | cam | group slot 0 .. slot G-1].
     """
     d = cfg.dims
     G = d.n_groups
@@ -55,91 +116,97 @@ def _obs_blocks(cfg: VIOConfig, s: VIOState, row):
     rowc = jnp.maximum(row, 0)
     x = fr.x[rowc]
     gref = jnp.clip(fr.ref[rowc], 0, NG - 1)
+    ref_slot = gr.sind[gref]
+    ref_ok = (fr.ref[rowc] >= 0) & (ref_slot >= 0)
+    sref = jnp.clip(ref_slot, 0, G - 1)
+    Rsbr, Tsbr = gr.Rsb[gref], gr.Tsb[gref]
+    Rbc, Tbc = s.X.Rbc, s.X.Tbc
+
     Xc, dXc_dx = unproject_logz(x)
-    Rsc_ref = gr.Rsb[gref] @ s.X.Rbc
-    Xs = Rsc_ref @ Xc + gr.Rsb[gref] @ s.X.Tbc + gr.Tsb[gref]
-    dXs_dx = Rsc_ref @ dXc_dx
-    Rbc_t = s.X.Rbc.T
     W = 1.0 / cfg.subfilter.Rtri
 
     def per_slot(j):
         grow = s.g2row[j]
-        ok = grow >= 0
+        ok = (grow >= 0) & ref_ok
         growc = jnp.maximum(grow, 0)
         seen = fr.adj[rowc, growc] & ok & (growc != gref)
-        Rg = gr.Rsb[growc]
-        Tg = gr.Tsb[growc]
-        Xb = Rg.T @ (Xs - Tg)
-        Xcn = Rbc_t @ (Xb - s.X.Tbc)
-        good = seen & (Xcn[2] > 1e-6)
-        Xcn_s = jnp.where(good, Xcn, jnp.array([0.0, 0.0, 1.0], dtype))
-        xcn, dxcn_dXcn = project_persp(Xcn_s)
-        _, dxp_dxcn, _ = cam_mod.project_with_jac(kind, s.cam, xcn)
-        dxp_dXcn = dxp_dxcn @ dxcn_dXcn
-        Hx = dxp_dXcn @ Rbc_t @ Rg.T @ dXs_dx                # (2,3)
-        HW = dxp_dXcn @ Rbc_t @ so3.hat(Xb)
-        HT = dxp_dXcn @ Rbc_t @ (-Rg.T)
-        HWbc = dxp_dXcn @ so3.hat(Xcn_s)
-        HTbc = dxp_dXcn @ (-Rbc_t)
-        w = good.astype(dtype)
-        Hr = jnp.concatenate([HW, HT], axis=1) * w            # (2,6)
-        Hc = jnp.concatenate([HWbc, HTbc], axis=1) * w
-        Hx = Hx * w
-        return Hx, Hc, Hr
+        Rg, Tg = gr.Rsb[growc], gr.Tsb[growc]
+        Hx, Hc, Hg, Hr, dxp_dintrin, cheirality = obs_jacobian(
+            kind, s.cam, Rbc, Tbc, Rsbr, Tsbr, Rg, Tg, x, dtype)
+        w = (seen & cheirality).astype(dtype)
+        gblk = jnp.zeros((G, 2, 6), dtype)
+        gblk = gblk.at[j].set(Hg)
+        gblk = gblk.at[sref].add(Hr)
+        Hcam = dxp_dintrin if cfg.online_camera_calib \
+            else jnp.zeros_like(dxp_dintrin)
+        Ho = jnp.concatenate(
+            [Hc, Hcam, gblk.transpose(1, 0, 2).reshape(2, 6 * G)], axis=1)
+        return Hx * w, Ho * w
 
-    Hx, Hc, Hr = jax.vmap(per_slot)(jnp.arange(G))
-    N = W * jnp.einsum("gri,grj->ij", Hx, Hx)                 # (3,3)
-    Mc = W * jnp.einsum("gri,grj->ij", Hx, Hc)                # (3,6)
-    Mg = W * jnp.einsum("gri,grj->gij", Hx, Hr)               # (G,3,6)
-    return N, Mc, Mg
+    Hx, Ho = jax.vmap(per_slot)(jnp.arange(G))
+    N = W * jnp.einsum("gri,grj->ij", Hx, Hx)
+    M = W * jnp.einsum("gri,grj->ij", Hx, Ho)
+
+    # the anchor observation itself: reprojection into the ref frame is
+    # pose-independent (exactly), pins the (X/Z, Y/Z) components, and
+    # couples only to the intrinsics — this is what keeps N well-posed
+    # at admission time (the subfilter admits on >=2 observations)
+    xcn_r, dxcn_dXc = project_persp(Xc)
+    _, dxp_dxcn_r, dxp_dint_r = cam_mod.project_with_jac(kind, s.cam, xcn_r)
+    Hx_r = (dxp_dxcn_r @ dxcn_dXc @ dXc_dx) * ref_ok.astype(dtype)
+    N = N + W * Hx_r.T @ Hx_r
+    if cfg.online_camera_calib:
+        Ho_r = jnp.zeros((2, 6 + L.NCAM + 6 * G), dtype)
+        Ho_r = Ho_r.at[:, 6:6 + L.NCAM].set(dxp_dint_r)
+        M = M + W * Hx_r.T @ Ho_r
+    return N, M
 
 
 def add_init_correlations(cfg: VIOConfig, s: VIOState, new_slot_mask,
                           row_of_slot) -> VIOState:
-    """Write cross-covariance blocks for newly admitted feature slots."""
+    """Augment P with the exact first-order correlations of new slots."""
     d = cfg.dims
     F = d.n_features
     G = d.n_groups
-    D = d.full
     dtype = s.P.dtype
     fb = d.feature_begin
+    K = 6 + L.NCAM + 6 * G
 
-    # joint "other" block: extrinsics (6) + all group slots (6G) — using
-    # the FULL covariance of these states (including their mutual
-    # correlations) keeps the augmented matrix PSD per feature
-    import numpy as _np
-    oidx = _np.concatenate([
-        _np.arange(L.WBC, L.WBC + 6),
-        _np.arange(L.GROUP_BEGIN, L.GROUP_BEGIN + 6 * G)])
-    P_oo = s.P[jnp.asarray(oidx)][:, jnp.asarray(oidx)]   # (6+6G, 6+6G)
+    oidx = jnp.asarray(np.concatenate([
+        np.arange(L.WBC, L.WBC + 6),
+        np.arange(L.CAM, L.CAM + L.NCAM),
+        np.arange(L.GROUP_BEGIN, L.GROUP_BEGIN + 6 * G)]))
+    P_o = s.P[oidx]            # (K, D) — rows of the o-block vs everything
+    P_oo = P_o[:, oidx]        # (K, K)
 
     def per_slot(slot):
         row = row_of_slot[slot]
         use = new_slot_mask[slot] & (row >= 0)
-        N, Mc, Mg = _obs_blocks(cfg, s, row)
-        # only meaningful when the observation set actually determines x:
-        # a near-singular N would inject garbage — skip those features
-        wellposed = jnp.linalg.eigvalsh(N)[0] > 1e-2
+        N, M = _obs_blocks(cfg, s, row)
+        tr = jnp.trace(N) / 3.0
+        # a near-singular N means the observations barely determine x —
+        # the batch-LS correlation model is meaningless there; skip.
+        # (J = 0 keeps the congruence, so PSD is unaffected either way.)
+        wellposed = jnp.linalg.eigvalsh(N)[0] > 1e-4 * tr
         use = use & wellposed
-        A = jnp.linalg.inv(N + 1e-3 * jnp.eye(3, dtype=dtype))
-        M = jnp.concatenate(
-            [Mc, Mg.transpose(1, 0, 2).reshape(3, 6 * G)], axis=1)
-        AM = A @ M                                            # (3, 6+6G)
-        C = -(AM @ P_oo)                                      # (3, 6+6G)
-        infl = AM @ P_oo @ AM.T                               # (3,3)
-        u = use.astype(dtype)
-        return C * u, infl * u
+        A = jnp.linalg.inv(N + (1e-6 * tr + jnp.asarray(1e-12, dtype))
+                           * jnp.eye(3, dtype=dtype))
+        J = -(A @ M)                                       # (3, K)
+        return jnp.where(use, J, jnp.zeros_like(J))
 
-    C, infl = jax.vmap(per_slot)(jnp.arange(F))
-    # assemble the (3F, D) cross-row block
-    rows = jnp.zeros((3 * F, D), dtype)
-    rows = rows.at[:, jnp.asarray(oidx)].set(C.reshape(3 * F, 6 + 6 * G))
+    Jf = jax.vmap(per_slot)(jnp.arange(F))                  # (F, 3, K)
+    # cross rows vs EVERY existing state: J P[o, :]. Columns landing in
+    # new feature slots are zero here (their P rows were zeroed before
+    # the block-diagonal insert), so the pairwise term below is not
+    # double counted; columns in old feature slots make the (fb:, fb:)
+    # direct+transpose adds land on symmetric entries exactly once each.
+    C = jnp.einsum("fik,kd->fid", Jf, P_o).reshape(3 * F, d.full)
+    # pairwise new-new blocks J_i P_oo J_j^T (diagonal = inflation)
+    Q = jnp.einsum("fik,kl->fil", Jf, P_oo)
+    X = jnp.einsum("fil,gjl->figj", Q, Jf).reshape(3 * F, 3 * F)
 
-    P = s.P.at[fb:, :].add(rows)
-    P = P.at[:, fb:].add(rows.T)
-    # (rows has no columns in the feature region, so no double count)
-    eye = jnp.eye(F, dtype=dtype)
-    BD = jnp.einsum("fij,fg->figj", infl, eye).reshape(3 * F, 3 * F)
-    P = P.at[fb:, fb:].add(BD)
+    P = s.P.at[fb:, :].add(C)
+    P = P.at[:, fb:].add(C.T)
+    P = P.at[fb:, fb:].add(X)
     P = 0.5 * (P + P.T)
     return s._replace(P=P)
