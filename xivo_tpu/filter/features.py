@@ -109,14 +109,18 @@ def compute_jacobian(cam_kind: int, intrin, X, Rsbr, Tsbr, x, xp_meas,
         cam_kind, intrin, xcn)
     dxp_dXcn = dxp_dxcn @ dxcn_dXcn
 
-    Jm = jnp.zeros((2, L.MOTION), x.dtype)
-    Jm = Jm.at[:, L.WSB:L.WSB + 3].set(dxp_dXcn @ dXcn_dWsb)
-    Jm = Jm.at[:, L.TSB:L.TSB + 3].set(dxp_dXcn @ dXcn_dTsb)
-    Jm = Jm.at[:, L.WBC:L.WBC + 3].set(dxp_dXcn @ dXcn_dWbc)
-    Jm = Jm.at[:, L.TBC:L.TBC + 3].set(dxp_dXcn @ dXcn_dTbc)
-    Jm = Jm.at[:, L.TD].set(dxp_dXcn @ dXcn_dtd)
-    Jm = Jm.at[:, L.CG:L.CG + 9].set(dxp_dXcn @ dXcn_dCg)
-    Jm = Jm.at[:, L.BG:L.BG + 3].set(dxp_dXcn @ dXcn_dbg)
+    # block concatenation in layout order (Wsb Tsb Vsb bg ba Wbc Tbc Wsg
+    # td Cg Ca) — `.at[].set` block writes each cost a full-matrix copy
+    # per write on TPU when vmapped over the slot table
+    Z23 = jnp.zeros((2, 3), x.dtype)
+    Jm = jnp.concatenate([
+        dxp_dXcn @ dXcn_dWsb, dxp_dXcn @ dXcn_dTsb, Z23,     # Wsb Tsb Vsb
+        dxp_dXcn @ dXcn_dbg, Z23,                            # bg ba
+        dxp_dXcn @ dXcn_dWbc, dxp_dXcn @ dXcn_dTbc,          # Wbc Tbc
+        jnp.zeros((2, 2), x.dtype),                          # Wsg
+        (dxp_dXcn @ dXcn_dtd)[:, None],                      # td
+        dxp_dXcn @ dXcn_dCg,                                 # Cg
+        jnp.zeros((2, 6), x.dtype)], axis=1)                 # Ca
 
     J_cam = dxp_dintrin if online_camera_calib else jnp.zeros_like(dxp_dintrin)
     J_group = jnp.concatenate([dxp_dXcn @ dXcn_dWsbr,
@@ -135,6 +139,13 @@ def predict_pixel(cam_kind: int, intrin, X, Rsbr, Tsbr, x):
     Xcn = X.Rbc.T @ (Xb - X.Tbc)
     xcn, _ = project_persp(Xcn)
     return cam_mod.project(cam_kind, intrin, xcn), Xcn[2]
+
+
+def _inv2(S):
+    """Closed-form 2x2 inverse (adjugate / determinant)."""
+    det = S[0, 0] * S[1, 1] - S[0, 1] * S[1, 0]
+    adj = jnp.array([[S[1, 1], -S[0, 1]], [-S[1, 0], S[0, 0]]])
+    return adj / det
 
 
 def subfilter_update(cam_kind: int, intrin, X, Rsbr, Tsbr, x, Psub, xp_meas,
@@ -160,14 +171,15 @@ def subfilter_update(cam_kind: int, intrin, X, Rsbr, Tsbr, x, Psub, xp_meas,
 
     S = H @ Psub @ H.T
     S = S + Rtri * jnp.eye(2, dtype=x.dtype)
-    # MH ratio with threshold; inflate R when suspicious
-    Sinv = jnp.linalg.inv(S)
-    ratio = inn @ (Sinv @ inn) / MH_thresh
+    # MH ratio with threshold; inflate R when suspicious.
+    # closed-form 2x2 inverse: jnp.linalg.inv lowers to an (expensive,
+    # serialized) LU custom-call on TPU — measured 9 ms/frame-batch each
+    ratio = inn @ (_inv2(S) @ inn) / MH_thresh
     bad = ratio > 1.0
     S = S + jnp.where(bad, Rtri * (ratio - 1.0), 0.0) * jnp.eye(2, dtype=x.dtype)
     outlier_inc = jnp.where(bad, jnp.sqrt(jnp.maximum(ratio, 0.0)), 0.0)
 
-    K = Psub @ H.T @ jnp.linalg.inv(S)
+    K = Psub @ H.T @ _inv2(S)
     x_new = x + K @ inn
     I_KH = jnp.eye(3, dtype=x.dtype) - K @ H
     P_new = I_KH @ Psub @ I_KH.T + Rtri * (K @ K.T)

@@ -687,13 +687,15 @@ def _switch_gauge_group(cfg: VIOConfig, s: VIOState) -> VIOState:
 
     def pick(s):
         gr = s.groups
-        goff = L.GROUP_BEGIN + 6 * jnp.clip(gr.sind, 0, cfg.dims.n_groups - 1)
+        G = cfg.dims.n_groups
         diag = jnp.diagonal(s.P)
-
-        def trace6(off):
-            return jax.lax.dynamic_slice(diag, (off,), (6,)).sum()
-
-        tr = jax.vmap(trace6)(goff)
+        # per-SLOT pose-covariance traces, densely; then per-row via a
+        # tiny one-hot matvec. (A vmapped dynamic_slice over the 128
+        # group rows serializes on TPU — and under batch vmap this
+        # "rare" cond branch runs every frame as a select.)
+        tr6 = diag[L.GROUP_BEGIN:L.GROUP_BEGIN + 6 * G].reshape(G, 6).sum(1)
+        sl = jnp.clip(gr.sind, 0, G - 1)
+        tr = (sl[:, None] == jnp.arange(G)[None, :]).astype(diag.dtype) @ tr6
         tr = jnp.where(gr.instate, tr, jnp.inf)
         row = jnp.argmax(tr == tr.min()).astype(jnp.int32)
         gslot = gr.sind[row]

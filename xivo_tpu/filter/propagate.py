@@ -49,38 +49,48 @@ def motion_jacobians(X: MotionState, gyro, accel, g, dtype):
     accel_calib = X.Ca @ accel - X.ba
     Rsb = X.Rsb
 
-    F = jnp.zeros((L.MOTION, L.MOTION), dtype)
-    # dW/dW = -hat(gyro_calib); dW/dbg = -I
-    F = F.at[L.WSB:L.WSB + 3, L.WSB:L.WSB + 3].set(-so3.hat(gyro_calib))
-    F = F.at[L.WSB:L.WSB + 3, L.BG:L.BG + 3].set(-jnp.eye(3, dtype=dtype))
-    # dT/dV = I
-    F = F.at[L.TSB:L.TSB + 3, L.VSB:L.VSB + 3].set(jnp.eye(3, dtype=dtype))
-    # dV/dW = -R hat(accel_calib); dV/dba = -R
-    F = F.at[L.VSB:L.VSB + 3, L.WSB:L.WSB + 3].set(-Rsb @ so3.hat(accel_calib))
-    F = F.at[L.VSB:L.VSB + 3, L.BA:L.BA + 3].set(-Rsb)
+    # Only the Wsb/Tsb/Vsb rows of F are nonzero — build them by block
+    # CONCATENATION in layout order (Wsb3 Tsb3 Vsb3 bg3 ba3 Wbc3 Tbc3
+    # Wsg2 td1 Cg9 Ca6). `.at[].set` block writes each materialize a
+    # full-matrix copy inside the scanned propagation loop (measured as
+    # dynamic-update-slice hot spots); concat fuses into one write.
+    eye3 = jnp.eye(3, dtype=dtype)
+    Z33 = jnp.zeros((3, 3), dtype)
     # dV/dWsg, 2 effective columns. With the right-multiplicative Rsg
     # retraction (src/core.h:149) the exact Jacobian of Rsg*g w.r.t. the
     # Wsg tangent is -Rsg hat(g); the reference writes -Rsb hat(g)
     # (src/estimator.cpp:648) which coincides to first order near init —
     # we use the exact form.
     dV_dWsg = -X.Rsg @ so3.hat(g)
-    F = F.at[L.VSB:L.VSB + 3, L.WSG:L.WSG + 2].set(dV_dWsg[:, :2])
     # dW/dCg: row i gets `gyro` at columns 3i..3i+2 (raw measurement!) —
     # built as one kron-style einsum, not a scatter loop
-    dW_dCg = (jnp.eye(3, dtype=dtype)[:, :, None]
-              * gyro[None, None, :]).reshape(3, 9)
-    F = F.at[L.WSB:L.WSB + 3, L.CG:L.CG + 9].set(dW_dCg)
+    dW_dCg = (eye3[:, :, None] * gyro[None, None, :]).reshape(3, 9)
     # dV/dCa = dAB_dA(accel) @ dAB_dB(Rsb) @ dA_dAu
     dV_dRCa = so3.dAB_dA(accel[:, None], 3, 3)          # (3, 9)
     dRCa_dCafm = so3.dAB_dB(Rsb, 3, 3)                  # (9, 9)
     dV_dCa = dV_dRCa @ dRCa_dCafm @ so3.dA_dAu(dtype)   # (3, 6)
-    F = F.at[L.VSB:L.VSB + 3, L.CA:L.CA + 6].set(dV_dCa)
 
-    G = jnp.zeros((L.MOTION, 12), dtype)
-    G = G.at[L.WSB:L.WSB + 3, 0:3].set(-jnp.eye(3, dtype=dtype))
-    G = G.at[L.VSB:L.VSB + 3, 3:6].set(-Rsb)
-    G = G.at[L.BG:L.BG + 3, 6:9].set(jnp.eye(3, dtype=dtype))
-    G = G.at[L.BA:L.BA + 3, 9:12].set(jnp.eye(3, dtype=dtype))
+    rows_W = jnp.concatenate([
+        -so3.hat(gyro_calib), Z33, Z33, -eye3, Z33, Z33, Z33,
+        jnp.zeros((3, 3), dtype), dW_dCg, jnp.zeros((3, 6), dtype)],
+        axis=1)                                          # Wsg2+td1 = 3 zeros
+    rows_T = jnp.concatenate([
+        Z33, Z33, eye3, jnp.zeros((3, L.MOTION - 9), dtype)], axis=1)
+    rows_V = jnp.concatenate([
+        -Rsb @ so3.hat(accel_calib), Z33, Z33, Z33, -Rsb, Z33, Z33,
+        dV_dWsg[:, :2], jnp.zeros((3, 1 + 9), dtype), dV_dCa], axis=1)
+    F = jnp.concatenate(
+        [rows_W, rows_T, rows_V,
+         jnp.zeros((L.MOTION - 9, L.MOTION), dtype)], axis=0)
+
+    Z312 = jnp.zeros((3, 12), dtype)
+    G = jnp.concatenate([
+        jnp.concatenate([-eye3, Z33, Z33, Z33], axis=1),   # Wsb rows
+        Z312,                                              # Tsb
+        jnp.concatenate([Z33, -Rsb, Z33, Z33], axis=1),    # Vsb
+        jnp.concatenate([Z33, Z33, eye3, Z33], axis=1),    # bg
+        jnp.concatenate([Z33, Z33, Z33, eye3], axis=1),    # ba
+        jnp.zeros((L.MOTION - 15, 12), dtype)], axis=0)
     return F, G
 
 

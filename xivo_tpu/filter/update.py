@@ -59,36 +59,42 @@ def build_stacked_jacobian(cfg: VIOConfig, s: VIOState) -> StackedJac:
         Tsbr = gr.Tsb[gref]
         jr = compute_jacobian(kind, s.cam, s.X, Rsbr, Tsbr, x, xp,
                               s.last_gyro, cfg.online_camera_calib)
-        # mask the temporal blocks if those calibrations are off (their P
-        # rows are zero so they'd be inert anyway; masking keeps S cleaner)
-        Jm = jr.J_motion
-        if not cfg.online_temporal_calib:
-            Jm = Jm.at[:, L.TD].set(0.0)
-            # NOTE: bg/Cg coupling through td vanishes with td fixed at 0
-            # only when td==0; the reference omits these blocks entirely
-            # without temporal calib (src/feature.cpp:593 #ifdef), so the
-            # bg block must revert to zero too (bg still affects the
-            # measurement only through propagation).
-            Jm = Jm.at[:, L.BG:L.BG + 3].set(0.0)
-        if not cfg.online_imu_calib:
-            Jm = Jm.at[:, L.CG:L.CG + 9].set(0.0)
-
-        Hrow = jnp.zeros((2, D), dtype)
-        Hrow = Hrow.at[:, :L.MOTION].set(Jm)
-        Hrow = Hrow.at[:, L.CAM:L.CAM + L.NCAM].set(jr.J_cam)
         gslot = jnp.maximum(gr.sind[gref], 0)
-        zero = jnp.zeros((), jnp.int32)
-        goff = (L.GROUP_BEGIN + 6 * gslot).astype(jnp.int32)
-        Hrow = jax.lax.dynamic_update_slice(Hrow, jr.J_group, (zero, goff))
-        foff = (d.feature_begin + 3 * slot).astype(jnp.int32)
-        Hrow = jax.lax.dynamic_update_slice(Hrow, jr.J_feat, (zero, foff))
-
         okf = ok.astype(dtype)
-        return Hrow * okf, jr.inn * okf, ok, jr.xp_pred
+        return (jr.J_motion * okf, jr.J_cam * okf, jr.J_group * okf,
+                jr.J_feat * okf, gslot, jr.inn * okf, ok, jr.xp_pred)
 
-    H, inn, valid, pred = jax.vmap(one_slot)(jnp.arange(d.n_features))
-    return StackedJac(H=H.reshape(2 * d.n_features, D),
-                      inn=inn.reshape(2 * d.n_features),
+    F = d.n_features
+    Jm, Jc, Jg, Jf, gslot, inn, valid, pred = jax.vmap(one_slot)(
+        jnp.arange(F))
+
+    # mask the temporal blocks if those calibrations are off (their P
+    # rows are zero so they'd be inert anyway; masking keeps S cleaner).
+    # NOTE: bg/Cg coupling through td vanishes with td fixed at 0
+    # only when td==0; the reference omits these blocks entirely
+    # without temporal calib (src/feature.cpp:593 #ifdef), so the
+    # bg block must revert to zero too (bg still affects the
+    # measurement only through propagation).
+    colmask = [1.0] * L.MOTION
+    if not cfg.online_temporal_calib:
+        colmask[L.TD] = 0.0
+        colmask[L.BG:L.BG + 3] = [0.0] * 3
+    if not cfg.online_imu_calib:
+        colmask[L.CG:L.CG + 9] = [0.0] * 9
+    if any(c == 0.0 for c in colmask):
+        Jm = Jm * jnp.asarray(colmask, dtype)
+
+    # Scatter-free assembly: a vmapped dynamic_update_slice at per-slot
+    # offsets lowers to a SERIALIZED scatter while-loop on TPU (measured
+    # ~6 ms/frame-batch each); one-hot placement is dense MXU work.
+    G = d.n_groups
+    oh = jax.nn.one_hot(gslot, G, dtype=dtype)                  # (F, G)
+    Hgrp = jnp.einsum("fg,frk->frgk", oh, Jg).reshape(F, 2, 6 * G)
+    Hfeat = jnp.einsum("fg,frk->frgk", jnp.eye(F, dtype=dtype),
+                       Jf).reshape(F, 2, 3 * F)
+    H = jnp.concatenate([Jm, Jc, Hgrp, Hfeat], axis=2)
+    return StackedJac(H=H.reshape(2 * F, D),
+                      inn=inn.reshape(2 * F),
                       valid=valid, pred=pred)
 
 
@@ -172,37 +178,28 @@ def absorb_error(cfg: VIOConfig, s: VIOState, err) -> VIOState:
         if cfg.online_camera_calib else s.cam
 
     gr = s.groups
-    # group poses: scatter err segments to group rows via their slots
+    # group poses: route err segments to rows DENSELY via a one-hot
+    # (row -> slot) matmul and apply the retraction to every row at once
+    # (a fori_loop of per-slot scatters serializes on TPU)
     gerr = err[L.GROUP_BEGIN:L.GROUP_BEGIN + 6 * d.n_groups].reshape(
         d.n_groups, 6)
-
-    def upd_group(slot, Rsb, Tsb):
-        row = s.g2row[slot]
-        ok = row >= 0
-        rowc = jnp.maximum(row, 0)
-        Rn, Tn = apply_group_error(Rsb[rowc], Tsb[rowc], gerr[slot])
-        Rsb = Rsb.at[rowc].set(jnp.where(ok, Rn, Rsb[rowc]))
-        Tsb = Tsb.at[rowc].set(jnp.where(ok, Tn, Tsb[rowc]))
-        return Rsb, Tsb
-
-    Rsb, Tsb = gr.Rsb, gr.Tsb
-    Rsb, Tsb = jax.lax.fori_loop(
-        0, d.n_groups,
-        lambda i, c: upd_group(i, c[0], c[1]), (Rsb, Tsb))
-    gr = gr._replace(Rsb=Rsb, Tsb=Tsb)
+    instate_g = gr.sind >= 0
+    oh_g = ((jnp.clip(gr.sind, 0, d.n_groups - 1)[:, None]
+             == jnp.arange(d.n_groups)[None, :])
+            & instate_g[:, None]).astype(err.dtype)       # (NG, G)
+    gerr_row = oh_g @ gerr                                 # (NG, 6)
+    Rn, Tn = jax.vmap(apply_group_error)(gr.Rsb, gr.Tsb, gerr_row)
+    gr = gr._replace(
+        Rsb=jnp.where(instate_g[:, None, None], Rn, gr.Rsb),
+        Tsb=jnp.where(instate_g[:, None], Tn, gr.Tsb))
 
     ferr = err[d.feature_begin:].reshape(d.n_features, 3)
-    fx = s.features.x
-
-    def upd_feat(slot, fx):
-        row = s.f2row[slot]
-        ok = row >= 0
-        rowc = jnp.maximum(row, 0)
-        return fx.at[rowc].set(jnp.where(ok, fx[rowc] + ferr[slot],
-                                         fx[rowc]))
-
-    fx = jax.lax.fori_loop(0, d.n_features, upd_feat, fx)
-    fr = s.features._replace(x=fx)
+    fr = s.features
+    instate_f = fr.sind >= 0
+    oh_f = ((jnp.clip(fr.sind, 0, d.n_features - 1)[:, None]
+             == jnp.arange(d.n_features)[None, :])
+            & instate_f[:, None]).astype(err.dtype)       # (NF, F)
+    fr = fr._replace(x=fr.x + oh_f @ ferr)
     return s._replace(X=X, cam=cam, groups=gr, features=fr)
 
 

@@ -45,8 +45,14 @@ def pack_frame_inputs(frames, imu_cap=32, meas_cap=256, dtype=np.float32):
 
     ``frames`` is a list of dicts with keys: imu (list of (dt, gyro,
     accel)), frame_dt, ids (N,), xp (N,2), depth (N,).
+
+    ``imu_cap`` is an upper bound; the packed arrays are trimmed to the
+    actual max samples/frame — the propagation scan runs per packed row,
+    so padding rows are pure waste on device.
     """
     T = len(frames)
+    need = max((len(f["imu"]) for f in frames), default=1)
+    imu_cap = max(1, min(imu_cap, need))
     gyro = np.zeros((T, imu_cap, 3), dtype)
     accel = np.zeros((T, imu_cap, 3), dtype)
     imu_dt = np.zeros((T, imu_cap), dtype)
