@@ -59,9 +59,8 @@ def test_map_ring_buffer():
     assert int(ms.count) == 20
 
 
-def test_close_loop_corrects_drifted_pose():
-    """Build a map at the true poses, drift the filter pose, verify the
-    LC update pulls it back."""
+def _drift_scenario():
+    """Map at the true poses + a filter that believes it drifted."""
     RNG = np.random.default_rng(8)
     from xivo_tpu.filter.config import config_from_json
     from xivo_tpu.filter.state import init_state
@@ -115,8 +114,32 @@ def test_close_loop_corrects_drifted_pose():
         desc=fr.desc.at[:n_use].set(descs[:n_use]))
     f2row = s.f2row.at[:n_use].set(jnp.arange(n_use, dtype=jnp.int32))
     s = s._replace(features=fr, f2row=f2row)
+    return cfg, s, ms, drift
 
+
+def test_close_loop_corrects_drifted_pose():
+    from xivo_tpu.map.mapper import close_loop
+    cfg, s, ms, drift = _drift_scenario()
     s2, n_lc = close_loop(cfg, s, ms)
     assert int(n_lc) >= 5
     resid = np.linalg.norm(np.asarray(s2.X.Tsb) - np.zeros(3))
     assert resid < 0.1 * np.linalg.norm(drift), (np.asarray(s2.X.Tsb))
+
+
+def test_close_loop_with_sharded_retrieval_matches():
+    """Map-scale path: the same LC step with the descriptor table
+    sharded over the 8-device mesh (dist/retrieval) gives the same
+    correction as the single-chip einsum."""
+    from jax.sharding import Mesh
+    from xivo_tpu.dist.retrieval import make_sharded_matcher
+    from xivo_tpu.map.mapper import close_loop
+
+    cfg, s, ms, drift = _drift_scenario()
+    s1, n1 = close_loop(cfg, s, ms)
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), ("data",))
+    matcher = make_sharded_matcher(mesh)
+    s8, n8 = close_loop(cfg, s, ms, matcher=matcher)
+    assert int(n8) == int(n1)
+    np.testing.assert_allclose(np.asarray(s8.X.Tsb), np.asarray(s1.X.Tsb),
+                               atol=1e-9)

@@ -81,3 +81,100 @@ def test_dropped_track_rescue():
         & (np.asarray(fr.track) == TS_TRACKED)
     # some of the old ids survive through rescue
     assert revived.sum() >= 3, revived.sum()
+
+
+def _rotated_image(img, center, theta):
+    """I2(x) = I1(R^T (x - c) + c) sampled bilinearly."""
+    from xivo_tpu.frontend.image import bilinear
+    H, W = img.shape
+    ys, xs = jnp.mgrid[0:H, 0:W]
+    pts = jnp.stack([xs.ravel(), ys.ravel()], axis=1).astype(img.dtype)
+    c, s = jnp.cos(-theta), jnp.sin(-theta)
+    R = jnp.array([[c, -s], [s, c]], img.dtype)
+    src = (pts - center) @ R.T + center
+    return bilinear(img, src).reshape(H, W)
+
+
+def test_orb_rotation_invariance():
+    """Steered BRIEF survives a 35-degree in-plane rotation that breaks
+    plain BRIEF (descriptor factory parity, src/tracker.cpp:36-97)."""
+    from xivo_tpu.frontend import brief
+    from xivo_tpu.frontend.descriptors import extract_orb, extract_freak
+    from xivo_tpu.frontend.image import blur5
+
+    rng = np.random.default_rng(3)
+    img = blur5(blur5(jnp.asarray(rng.uniform(0, 255, (96, 96)))))
+    c = jnp.asarray([48.0, 48.0])
+    th = 35.0 * np.pi / 180
+    img2 = _rotated_image(img, c, th)
+
+    d_brief = int(brief.hamming(brief.extract(img, c),
+                                brief.extract(img2, c)))
+    d_orb = int(brief.hamming(extract_orb(img, c), extract_orb(img2, c)))
+    d_freak = int(brief.hamming(extract_freak(img, c),
+                                extract_freak(img2, c)))
+    assert d_orb < 0.6 * d_brief, (d_orb, d_brief)
+    assert d_freak < 0.6 * d_brief, (d_freak, d_brief)
+    # self-distance sanity
+    assert int(brief.hamming(extract_orb(img, c), extract_orb(img, c))) == 0
+
+
+def test_descriptor_type_config_dispatch():
+    from xivo_tpu.filter.config import config_from_json
+    from tests.test_e2e_pcw import PCW_CFG
+    cfg_json = dict(PCW_CFG)
+    cfg_json["tracker_cfg"] = {**PCW_CFG["tracker_cfg"],
+                               "descriptor": "ORB"}
+    cfg = config_from_json(cfg_json)
+    assert cfg.descriptor_type == "orb"
+    from xivo_tpu.frontend.descriptors import KINDS
+    assert cfg.descriptor_type in KINDS
+
+
+def test_pointcloud_homography_rejection_drops_outliers():
+    """do_outlier_rejection in POINTCLOUD mode: corrupted measurements
+    inconsistent with the dominant inter-frame homography are dropped."""
+    from xivo_tpu.filter.config import config_from_json
+    from xivo_tpu.filter.pipeline import tracker_pointcloud
+    from xivo_tpu.filter.state import TS_DROPPED, TS_TRACKED, init_state
+    from tests.test_e2e_pcw import PCW_CFG
+
+    cfg = config_from_json(dict(PCW_CFG), dtype="float64",
+                           do_outlier_rejection=True)
+    s = init_state(cfg)
+    rng = np.random.default_rng(4)
+    N = 60
+    ids = np.arange(N, dtype=np.int32)
+    xp0 = rng.uniform(60, 420, (N, 2))
+
+    M = 256
+    mid = np.full((M,), -1, np.int32)
+    mxp = np.zeros((M, 2))
+    mdep = np.full((M,), -1.0)
+    mval = np.zeros((M,), bool)
+    mid[:N] = ids
+    mxp[:N] = xp0
+    mval[:N] = True
+    s = tracker_pointcloud(cfg, s, jnp.asarray(mid), jnp.asarray(mxp),
+                           jnp.asarray(mdep), jnp.asarray(mval))
+
+    # frame 2: uniform 3px shift (a translation homography), except 6
+    # gross outliers displaced ~40 px in random directions
+    mxp2 = mxp.copy()
+    mxp2[:N] = xp0 + np.array([3.0, 1.5])
+    bad = rng.choice(N, 6, replace=False)
+    ang = rng.uniform(0, 2 * np.pi, 6)
+    mxp2[bad] += 30.0 * np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    s2 = tracker_pointcloud(cfg, s, jnp.asarray(mid), jnp.asarray(mxp2),
+                            jnp.asarray(mdep), jnp.asarray(mval))
+    fr = s2.features
+    track = np.asarray(fr.track)
+    fid = np.asarray(fr.fid)
+    # outlier tracks are terminated (their unmatched measurements then
+    # re-enter as NEW tracks, reference behavior) — no bad id survives
+    # as TRACKED; the consistent majority does
+    bad_rows = np.isin(fid, bad)
+    good_rows = np.isin(fid, np.setdiff1d(ids, bad))
+    assert (track[bad_rows] == TS_TRACKED).sum() == 0
+    assert (track[bad_rows] == TS_DROPPED).sum() >= 5
+    assert (track[good_rows] == TS_TRACKED).mean() > 0.9

@@ -105,6 +105,12 @@ class VIOConfig:
     # between a newly admitted feature and the extrinsics/group poses
     # its estimate was filtered through
     approximate_init_covariance: bool = False
+    # first-estimates Jacobians (improvement over the reference): group
+    # pose and feature blocks of the measurement Jacobian are evaluated
+    # at the states' FIRST estimates (frozen at EKF admission) so the
+    # unobservable directions gain no spurious information — the
+    # standard FEJ consistency fix for EKF-VIO
+    use_fej: bool = False
     # parallax-gated admission (improvement over the reference): only
     # admit features whose subfilter depth variance (log-depth) has
     # dropped below this bound — i.e. whose depth has become observable.
@@ -222,6 +228,9 @@ class VIOConfig:
     detector: str = "FAST"             # FAST | GFTT
     fast_threshold: float = 20.0
     extract_descriptor: bool = True
+    # binary descriptor family: "brief" | "orb" | "freak"
+    # (reference descriptor factory, src/tracker.cpp:36-97)
+    descriptor_type: str = "brief"
     descriptor_distance_thresh: int = -1
     match_dropped_tracks: bool = False
     do_outlier_rejection: bool = False
@@ -391,6 +400,8 @@ def config_from_json(cfg: dict, dims: Optional[Dims] = None,
             "threshold", 20.0),
         extract_descriptor=cfg.get("tracker_cfg", {}).get(
             "extract_descriptor", True),
+        descriptor_type=cfg.get("tracker_cfg", {}).get(
+            "descriptor", "brief").lower(),
         descriptor_distance_thresh=cfg.get("tracker_cfg", {}).get(
             "descriptor_distance_thresh", -1),
         match_dropped_tracks=cfg.get("tracker_cfg", {}).get(

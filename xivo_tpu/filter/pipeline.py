@@ -165,6 +165,18 @@ def tracker_pointcloud(cfg: VIOConfig, s: VIOState, meas_id, meas_xp,
     disp_ok = jnp.linalg.norm(mxp - fr.xp, axis=1) \
         < cfg.max_pixel_displacement
     tracked = has_match & disp_ok
+
+    if cfg.do_outlier_rejection:
+        # homography-consistency rejection for the point-cloud tracker
+        # (the reference wires Tracker::OutlierRejection only in LK
+        # mode, src/tracker.cpp:705-753; same flag, both modes here)
+        from ..frontend.homography import homography_ransac
+        key, sub = jax.random.split(s.key)
+        s = s._replace(key=key)
+        inl, hok = homography_ransac(sub, fr.xp, mxp, tracked,
+                                     thresh=cfg.homography_reproj_thresh)
+        tracked = tracked & inl
+
     dropped = active & ~tracked
 
     fr = fr._replace(
@@ -477,7 +489,9 @@ def _commit_feature_admissions(cfg: VIOConfig, s: VIOState, slot_of_row,
     new_slot_mask = jnp.zeros((d.n_features,), bool).at[tgt_slot].set(True)
     fr = fr._replace(
         sind=jnp.where(got, slot_of_row.astype(jnp.int32), fr.sind),
-        status=jnp.where(got, FS_INSTATE, fr.status))
+        status=jnp.where(got, FS_INSTATE, fr.status),
+        # FEJ linearization point frozen at EKF admission
+        x_fej=jnp.where(got[:, None], fr.x, fr.x_fej))
     row_of_slot = jnp.full((d.n_features,), -1, jnp.int32).at[
         tgt_slot].set(jnp.arange(NF, dtype=jnp.int32))
     P = _add_feature_blocks(cfg, s.P, fr, new_slot_mask, row_of_slot)
@@ -552,7 +566,10 @@ def _discard_affected_groups_impl(cfg: VIOConfig, s: VIOState, affected):
         x=jnp.where(transfer[:, None], xn, fr.x),
         Psub=jnp.where(transfer[:, None, None],
                        Pn * cfg.feature_owner_change_cov_factor, fr.Psub),
-        ref=jnp.where(transfer, new_ref, fr.ref))
+        ref=jnp.where(transfer, new_ref, fr.ref),
+        # reparametrization resets the FEJ point (standard practice on
+        # relinearization)
+        x_fej=jnp.where(transfer[:, None], xn, fr.x_fej))
     s = s._replace(features=fr)
 
     # failed transfers: NULLREFED -> removed from state and destroyed
@@ -774,6 +791,9 @@ def _create_group_and_init_tracks(cfg: VIOConfig, s: VIOState) -> VIOState:
         Tsb=gr.Tsb.at[row].set(s.X.Tsb),
         lifetime=gr.lifetime.at[row].set(0),
         sind=gr.sind.at[row].set(-1),
+        # FEJ linearization point = pose at creation (never retracted)
+        Rsb_fej=gr.Rsb_fej.at[row].set(s.X.Rsb),
+        Tsb_fej=gr.Tsb_fej.at[row].set(s.X.Tsb),
     )
     # stale adjacency to the overwritten row must vanish; a reused gauge
     # row no longer identifies the gauge group
@@ -979,8 +999,12 @@ def _propagate_frame_fast(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel,
 
     init = (s.X, eye, jnp.zeros((m, m), dtype), s.last_gyro, s.last_accel,
             s.slope_gyro, s.slope_accel, jnp.zeros((), jnp.int32))
+    # full unroll: the IMU axis is short (packing trims it to the real
+    # max samples/frame) and each iteration is tiny 39x39 work — letting
+    # XLA fuse across samples beats the sequential while-loop overhead
     (X, Phi, Q, lg, la, sg, sa, nprop), _ = jax.lax.scan(
-        body, init, (imu_gyro, imu_accel, imu_dt))
+        body, init, (imu_gyro, imu_accel, imu_dt),
+        unroll=int(imu_dt.shape[0]))
 
     # visual-frame extrapolation segment
     def vis(_):

@@ -62,6 +62,8 @@ class GroupTable(NamedTuple):
     Tsb: jnp.ndarray       # (NG,3)
     lifetime: jnp.ndarray  # (NG,) int32
     sind: jnp.ndarray      # (NG,) int32, EKF slot or -1
+    Rsb_fej: jnp.ndarray   # (NG,3,3) first-estimate pose (FEJ)
+    Tsb_fej: jnp.ndarray   # (NG,3)
 
     @property
     def active(self):
@@ -90,6 +92,9 @@ class FeatureTable(NamedTuple):
     adj_xp: jnp.ndarray     # (NF,NG,2) pixel observation per (feature, group)
     sim_depth: jnp.ndarray  # (NF,) ground-truth depth hint (simulation)
     desc: jnp.ndarray       # (NF,8) uint32 packed BRIEF descriptor
+    x_fej: jnp.ndarray      # (NF,3) first-estimate of x (FEJ linearization
+                            # point, frozen at EKF admission; used when
+                            # cfg.use_fej)
 
     @property
     def active(self):
@@ -198,6 +203,7 @@ def init_state(cfg: VIOConfig, key=None) -> VIOState:
         adj_xp=jnp.zeros((NF, NG, 2), dt),
         sim_depth=jnp.full((NF,), -1.0, dt),
         desc=jnp.zeros((NF, 8), jnp.uint32),
+        x_fej=jnp.zeros((NF, 3), dt),
     )
     groups = GroupTable(
         gid=jnp.full((NG,), -1, jnp.int32),
@@ -205,6 +211,8 @@ def init_state(cfg: VIOConfig, key=None) -> VIOState:
         Tsb=jnp.zeros((NG, 3), dt),
         lifetime=jnp.zeros((NG,), jnp.int32),
         sind=jnp.full((NG,), -1, jnp.int32),
+        Rsb_fej=jnp.tile(jnp.eye(3, dtype=dt), (NG, 1, 1)),
+        Tsb_fej=jnp.zeros((NG, 3), dt),
     )
 
     if key is None:

@@ -59,10 +59,20 @@ def build_stacked_jacobian(cfg: VIOConfig, s: VIOState) -> StackedJac:
         Tsbr = gr.Tsb[gref]
         jr = compute_jacobian(kind, s.cam, s.X, Rsbr, Tsbr, x, xp,
                               s.last_gyro, cfg.online_camera_calib)
+        J_group, J_feat = jr.J_group, jr.J_feat
+        if cfg.use_fej:
+            # first-estimates Jacobians: the cloned-state blocks (group
+            # pose, feature) are linearized at the states' first
+            # estimates so unobservable directions gain no spurious
+            # information; the residual keeps the current estimates
+            jf = compute_jacobian(kind, s.cam, s.X, gr.Rsb_fej[gref],
+                                  gr.Tsb_fej[gref], fr.x_fej[rowc], xp,
+                                  s.last_gyro, cfg.online_camera_calib)
+            J_group, J_feat = jf.J_group, jf.J_feat
         gslot = jnp.maximum(gr.sind[gref], 0)
         okf = ok.astype(dtype)
-        return (jr.J_motion * okf, jr.J_cam * okf, jr.J_group * okf,
-                jr.J_feat * okf, gslot, jr.inn * okf, ok, jr.xp_pred)
+        return (jr.J_motion * okf, jr.J_cam * okf, J_group * okf,
+                J_feat * okf, gslot, jr.inn * okf, ok, jr.xp_pred)
 
     F = d.n_features
     Jm, Jc, Jg, Jf, gslot, inn, valid, pred = jax.vmap(one_slot)(

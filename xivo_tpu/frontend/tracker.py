@@ -99,7 +99,9 @@ def tracker_image(cfg: VIOConfig, s: VIOState, fes: FrontendState,
         # new position and drop tracks whose BRIEF changed too much
         from .image import blur5 as _blur5
         sm0 = _blur5(pyr_new[0])
-        new_desc = jax.vmap(lambda p: brief.extract(sm0, p))(new_xy)
+        from .descriptors import KINDS, extract as desc_extract
+        dk = KINDS[cfg.descriptor_type]
+        new_desc = jax.vmap(lambda p: desc_extract(dk, sm0, p))(new_xy)
         ddist = brief.hamming(fr.desc, new_desc)
         keep_desc = ddist < cfg.descriptor_distance_thresh
         tracked = tracked & keep_desc
@@ -131,7 +133,9 @@ def tracker_image(cfg: VIOConfig, s: VIOState, fes: FrontendState,
 
     img_smooth = blur5(pyr_new[0])
     if cfg.extract_descriptor:
-        descs = jax.vmap(lambda p: brief.extract(img_smooth, p))(det_xy)
+        from .descriptors import KINDS, extract as desc_extract
+        dk = KINDS[cfg.descriptor_type]
+        descs = jax.vmap(lambda p: desc_extract(dk, img_smooth, p))(det_xy)
     else:
         descs = jnp.zeros((K_DET, 8), jnp.uint32)
 

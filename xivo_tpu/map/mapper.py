@@ -69,12 +69,18 @@ def map_insert(ms: MapState, Xs, desc, valid) -> MapState:
 def detect_loop_closures(cfg: VIOConfig, s: VIOState, ms: MapState,
                          nn_dist_thresh: int = 30,
                          ransac_thresh: float = 0.03,
-                         min_matches: int = 5):
+                         min_matches: int = 5,
+                         matcher=None):
     """Descriptor matching + P3P verification.
 
     Mirrors Mapper::DetectLoopClosures (src/mapper.cpp:335-418). Returns
     (match_rows (F,), map_idx (F,), match_ok (F,), any_loop ()).
     Queries are the current instate features.
+
+    `matcher` (optional): a sharded NN matcher from
+    dist/retrieval.make_sharded_matcher — pass it (with ms's landmark
+    tables device_put with the matching landmark sharding) when the map
+    exceeds one chip's HBM; the single-chip einsum is used otherwise.
     """
     fr, gr = s.features, s.groups
     NG = gr.gid.shape[0]
@@ -91,10 +97,13 @@ def detect_loop_closures(cfg: VIOConfig, s: VIOState, ms: MapState,
 
     qdesc, qxp, qok, qrow = jax.vmap(per_slot)(jnp.arange(F))
 
-    D = brief.hamming_matrix(qdesc, ms.desc)      # (F, M)
-    D = jnp.where(ms.valid[None, :], D, 10_000)
-    nn = jnp.argmin(D, axis=1)
-    nnd = jnp.min(D, axis=1)
+    if matcher is None:
+        D = brief.hamming_matrix(qdesc, ms.desc)      # (F, M)
+        D = jnp.where(ms.valid[None, :], D, 10_000)
+        nn = jnp.argmin(D, axis=1)
+        nnd = jnp.min(D, axis=1)
+    else:
+        nn, nnd = matcher(qdesc, ms.desc, ms.valid)
     match = qok & (nnd < nn_dist_thresh)
     n_match = jnp.sum(match.astype(jnp.int32))
 
