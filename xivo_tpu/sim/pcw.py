@@ -68,6 +68,45 @@ class RandomPCW(PointCloudWorld):
         self.add_points(pts)
 
 
+class ShellPCW(PointCloudWorld):
+    """Points on a spherical shell enclosing the trajectory volume.
+
+    Fixes the long-horizon starvation of box-uniform worlds (measured:
+    RandomPCW visibility collapses to zero on 20 s+ calib_rich/gentle
+    runs as the camera sweeps feature-free directions) — a shell keeps
+    every viewing direction populated, which is what long-horizon
+    stability and consistency (NEES) studies need.
+    """
+
+    def __init__(self, r_min=6.0, r_max=10.0, n_points=1500, seed=None):
+        super().__init__(seed)
+        u = self.rng.standard_normal((n_points, 3))
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        r = self.rng.uniform(r_min, r_max, n_points)[:, None]
+        self.add_points(u * r)
+
+
+class TubePCW(PointCloudWorld):
+    """Points in a tube around a given trajectory.
+
+    The generic fix for long-horizon starvation on TRAVERSING
+    trajectories (calib_rich/gentle cover tens of meters — no fixed
+    shell can enclose them at useful parallax): sample landmarks within
+    a [r_min, r_max] distance band of the path so every pose has nearby
+    structure in most viewing directions.
+    """
+
+    def __init__(self, path_xyz: np.ndarray, r_min=1.0, r_max=6.0,
+                 n_points=2000, seed=None):
+        super().__init__(seed)
+        path = np.atleast_2d(np.asarray(path_xyz, float))
+        anchors = path[self.rng.integers(0, len(path), n_points)]
+        u = self.rng.standard_normal((n_points, 3))
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        r = self.rng.uniform(r_min, r_max, n_points)[:, None]
+        self.add_points(anchors + u * r)
+
+
 class Checkerboard(PointCloudWorld):
     """Grid of corner landmarks on a plane (point_cloud_world.py:150-216)."""
 

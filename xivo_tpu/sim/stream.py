@@ -71,8 +71,19 @@ def build_pcw_stream(cfg: VIOConfig, total_time=10.0, imu_dt=0.01,
     """
     imu = get_imu_sim(motion, T=total_time + 1.0, noise_accel=noise_accel,
                       noise_gyro=noise_gyro, seed=seed)
-    pcw = world if world is not None else RandomPCW(
-        [-10, 10], [-10, 10], [-5, 5], n_points=n_points, seed=world_seed)
+    if isinstance(world, str) and world == "tube":
+        # landmarks in a band around the actual trajectory — sustained
+        # visibility for long-horizon runs (see sim/pcw.py TubePCW)
+        from .pcw import TubePCW
+        path = np.stack([imu.gsb(t)[1]
+                         for t in np.arange(0, total_time, 0.25)])
+        pcw = TubePCW(path, n_points=max(n_points, 2000), seed=world_seed)
+    elif world is not None:
+        pcw = world
+    else:
+        pcw = RandomPCW(
+            [-10, 10], [-10, 10], [-5, 5], n_points=n_points,
+            seed=world_seed)
     rows, cols = int(cfg.cam_params[0]), int(cfg.cam_params[1])
     fx, fy, cx, cy = cfg.cam_params[2:6]
     K = np.asarray(true_K) if true_K is not None \
