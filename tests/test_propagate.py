@@ -173,3 +173,28 @@ def test_zero_dt_noop():
                            jnp.asarray(0.0))
     assert np.allclose(s2.P, s.P)
     assert np.allclose(s2.X.Tsb, s.X.Tsb)
+
+
+def test_clamp_signals():
+    """clamp_signals (src/estimator.cpp:488-507): per-axis saturation of
+    gyro/accel before they enter the filter. An extreme sample with the
+    clamp on must propagate identically to the pre-clamped sample with
+    the clamp off."""
+    import dataclasses
+    from xivo_tpu.filter.state import init_state
+    from xivo_tpu.filter.propagate import imu_sample_update
+    cfg_on = VIOConfig(dtype="float64", clamp_signals=True,
+                       max_gyro=(1.0, 1.0, 1.0), max_accel=(5.0, 5.0, 5.0))
+    cfg_off = dataclasses.replace(cfg_on, clamp_signals=False)
+    s = init_state(cfg_on)
+    wild_g = jnp.asarray([40.0, -0.5, -300.0])
+    wild_a = jnp.asarray([100.0, 2.0, -9.8])
+    s_on = imu_sample_update(cfg_on, s, wild_g, wild_a, jnp.asarray(0.01))
+    s_ref = imu_sample_update(
+        cfg_off, s, jnp.asarray([1.0, -0.5, -1.0]),
+        jnp.asarray([5.0, 2.0, -5.0]), jnp.asarray(0.01))
+    assert np.allclose(s_on.X.Tsb, s_ref.X.Tsb)
+    assert np.allclose(s_on.P, s_ref.P)
+    # and clamp-off really is different
+    s_raw = imu_sample_update(cfg_off, s, wild_g, wild_a, jnp.asarray(0.01))
+    assert not np.allclose(s_raw.X.Vsb, s_ref.X.Vsb)

@@ -83,6 +83,51 @@ def test_dropped_track_rescue():
     assert revived.sum() >= 3, revived.sum()
 
 
+def test_match_mode_tracks_through_large_motion():
+    """MATCH tracker mode (Tracker::UpdateMatch, src/tracker.cpp:341-460):
+    mutual-best descriptor matching keeps track identity across a jump
+    far beyond the LK pyramid range, and unmatched detections spawn new
+    tracks only up to num_features_max."""
+    from xivo_tpu.filter.config import config_from_json
+    from xivo_tpu.filter.state import init_state, TS_TRACKED, TS_DROPPED
+    from xivo_tpu.frontend import init_frontend
+    from xivo_tpu.frontend.tracker import tracker_only_frame
+    from xivo_tpu.sim.render import render_dots
+    from tests.test_image_vio import IMG_CFG, make_world
+    from xivo_tpu.geom import so3
+
+    cfg = config_from_json(IMG_CFG, dtype="float64",
+                           tracker_type="MATCH")
+    s = init_state(cfg)
+    fes = init_frontend(cfg)
+    Xs = make_world(300, seed=7)
+    K = np.array([[200.0, 0, 160], [0, 200, 120], [0, 0, 1]])
+    Rbc = np.asarray(so3.exp(jnp.asarray(cfg.X_Wbc)))
+    Tbc = np.asarray(cfg.X_Tbc)
+    R0 = np.eye(3)
+    img0 = render_dots(Xs, R0 @ Rbc, np.zeros(3), K, 320, 240)
+
+    s, fes = tracker_only_frame(cfg, s, fes, jnp.asarray(img0))
+    fid0 = np.asarray(s.features.fid).copy()
+    n0 = int((fid0 >= 0).sum())
+    assert 10 < n0 <= cfg.num_features_max
+
+    # large baseline: LK would fail, descriptor matching must not
+    T1 = np.array([2.5, 0.0, 0.0])
+    img1 = render_dots(Xs, R0 @ Rbc, R0 @ Tbc + T1, K, 320, 240)
+    s, fes = tracker_only_frame(cfg, s, fes, jnp.asarray(img1))
+    fr = s.features
+    fid = np.asarray(fr.fid)
+    track = np.asarray(fr.track)
+    persisted = (fid >= 0) & np.isin(fid, fid0[fid0 >= 0]) \
+        & (track == TS_TRACKED)
+    assert persisted.sum() >= 10, persisted.sum()
+    # live (non-dropped) count never exceeds the budget; dropped rows
+    # recycle on the next frame
+    live = np.asarray(fr.active) & (track != TS_DROPPED)
+    assert int(live.sum()) <= cfg.num_features_max
+
+
 def _rotated_image(img, center, theta):
     """I2(x) = I1(R^T (x - c) + c) sampled bilinearly."""
     from xivo_tpu.frontend.image import bilinear

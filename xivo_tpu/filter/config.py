@@ -217,7 +217,7 @@ class VIOConfig:
     max_pixel_displacement: float = 64.0
     num_features_min: int = 120
     num_features_max: int = 200
-    tracker_type: str = "POINTCLOUD"   # POINTCLOUD | LK
+    tracker_type: str = "POINTCLOUD"   # POINTCLOUD | LK | MATCH
     use_prediction: bool = False
     mask_size: int = 15
     margin: int = 8
@@ -233,6 +233,9 @@ class VIOConfig:
     descriptor_type: str = "brief"
     descriptor_distance_thresh: int = -1
     match_dropped_tracks: bool = False
+    # MATCH mode: refresh stored descriptor every frame (cfg "differential",
+    # src/tracker.cpp:426-428)
+    differential_match: bool = True
     do_outlier_rejection: bool = False
     homography_reproj_thresh: float = 3.0
 
@@ -406,6 +409,8 @@ def config_from_json(cfg: dict, dims: Optional[Dims] = None,
             "descriptor_distance_thresh", -1),
         match_dropped_tracks=cfg.get("tracker_cfg", {}).get(
             "match_dropped_tracks", False),
+        differential_match=cfg.get("tracker_cfg", {}).get(
+            "differential", True),
         do_outlier_rejection=cfg.get("tracker_cfg", {}).get(
             "do_outlier_rejection", False),
         homography_reproj_thresh=cfg.get("tracker_cfg", {}).get(

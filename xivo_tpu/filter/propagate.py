@@ -351,7 +351,16 @@ def imu_sample_update(cfg: VIOConfig, s: VIOState, gyro, accel, dt):
     Updates the interpolation slopes then propagates (the reference's
     InertialMeasInternal -> Propagate(false) path,
     src/estimator.cpp:523-577). dt == 0 is a no-op (masked padding).
+    Per-axis signal clamping (src/estimator.cpp:488-507) is applied
+    here when ``clamp_signals`` so every ingestion path (scan, batch,
+    streaming) gets it.
     """
+    if cfg.clamp_signals:
+        mg = jnp.asarray(cfg.max_gyro, gyro.dtype)
+        ma = jnp.asarray(cfg.max_accel, accel.dtype)
+        gyro = jnp.clip(gyro, -mg, mg)
+        accel = jnp.clip(accel, -ma, ma)
+
     def do(s):
         safe_dt = jnp.maximum(dt, 1e-12)
         sg = (gyro - s.last_gyro) / safe_dt

@@ -173,8 +173,20 @@ def tracker_image(cfg: VIOConfig, s: VIOState, fes: FrontendState,
             jnp.where(revive, best_det, K_DET)].set(True)
         det_ok = det_ok & ~used
 
-    slot_of_det, got = _rank_assign(~fr.active & ~tracked, det_ok,
-                                    -det_score)
+    s, fr = _spawn_detections(s, fr, det_xy, det_score, descs, det_ok,
+                              free=~fr.active & ~tracked)
+    s = s._replace(features=fr)
+    fes = FrontendState(pyr=pyr_new, initialized=jnp.asarray(True))
+    return s, fes
+
+
+def _spawn_detections(s: VIOState, fr, det_xy, det_score, descs, det_ok,
+                      free):
+    """Create new tracks from detections into free slots (shared by the
+    LK and MATCH tracker modes; Feature::Create path of
+    src/tracker.cpp:312-328,440-457)."""
+    NF = fr.fid.shape[0]
+    slot_of_det, got = _rank_assign(free, det_ok, -det_score)
     tgt = jnp.where(got, slot_of_det, NF)
 
     dtype = fr.xp.dtype
@@ -195,8 +207,95 @@ def tracker_image(cfg: VIOConfig, s: VIOState, fes: FrontendState,
         sim_depth=fr.sim_depth.at[tgt].set(-1.0),
         desc=fr.desc.at[tgt].set(descs),
     )
-    s = s._replace(features=fr,
-                   next_fid=s.next_fid + jnp.sum(got.astype(jnp.int32)))
+    s = s._replace(next_fid=s.next_fid + jnp.sum(got.astype(jnp.int32)))
+    return s, fr
+
+
+def tracker_match(cfg: VIOConfig, s: VIOState, fes: FrontendState,
+                  image) -> Tuple[VIOState, FrontendState]:
+    """MATCH tracker mode (Tracker::UpdateMatch, src/tracker.cpp:341-460):
+    detect + extract descriptors every frame, brute-force mutual-best
+    Hamming matching (knnMatch with crossCheck) against the live track
+    table, descriptor-distance + displacement gates, optional homography
+    outlier rejection; unmatched tracks drop, unmatched detections fill
+    free slots up to ``num_features_max``.
+
+    TPU re-design: the knnMatch loop becomes ONE (NF, K_DET) XOR+popcount
+    Hamming matrix with argmin reductions both ways — no per-track
+    branching, fully MXU/VPU-resident.
+    """
+    fr = s.features
+    NF = fr.fid.shape[0]
+
+    pyr_new = tuple(build_pyramid(image.astype(jnp.float32),
+                                  cfg.klt_max_level))
+
+    if cfg.detector.upper() == "GFTT":
+        score = shi_tomasi_score(pyr_new[0])
+    else:
+        score = fast_score(pyr_new[0], cfg.fast_threshold)
+    score = nms3(score)
+
+    K_DET = 128  # static per-frame detection budget (MATCH re-detects all)
+    # no occupancy masking: UpdateMatch detects everywhere (no MaskOut)
+    no_occ = jnp.zeros((1,), bool)
+    det_xy, det_score, det_ok = select_topk(
+        score, K_DET, cfg.margin, jnp.zeros((1, 2), jnp.float32), no_occ,
+        cfg.mask_size)
+
+    img_smooth = blur5(pyr_new[0])
+    from .descriptors import KINDS, extract as desc_extract
+    dk = KINDS[cfg.descriptor_type]
+    descs = jax.vmap(lambda p: desc_extract(dk, img_smooth, p))(det_xy)
+
+    # --- mutual-best Hamming matching against live tracks ---
+    BIG = jnp.int32(1 << 20)
+    D = brief.hamming_matrix(fr.desc, descs).astype(jnp.int32)  # (NF, K)
+    pair_ok = fr.active[:, None] & det_ok[None, :]
+    Dm = jnp.where(pair_ok, D, BIG)
+    best_det = jnp.argmin(Dm, axis=1)                 # (NF,)
+    best_val = jnp.min(Dm, axis=1)
+    best_feat = jnp.argmin(Dm, axis=0)                # (K,)
+    mutual = best_feat[best_det] == jnp.arange(NF, dtype=best_feat.dtype)
+    has = (best_val < BIG) & mutual & fes.initialized
+
+    new_xy = det_xy[best_det]
+    disp_ok = jnp.linalg.norm(new_xy - fr.xp, axis=1) \
+        < cfg.max_pixel_displacement
+    if cfg.descriptor_distance_thresh > 0:
+        has = has & (best_val < cfg.descriptor_distance_thresh)
+    matched = fr.active & has & disp_ok
+
+    if cfg.do_outlier_rejection:
+        from .homography import homography_ransac
+        key, sub = jax.random.split(s.key)
+        s = s._replace(key=key)
+        inl, hok = homography_ransac(
+            sub, fr.xp, new_xy, matched,
+            thresh=cfg.homography_reproj_thresh)
+        matched = matched & inl
+
+    dropped = fr.active & ~matched
+    fr = fr._replace(
+        track=jnp.where(matched, TS_TRACKED,
+                        jnp.where(dropped, TS_DROPPED, fr.track)),
+        xp=jnp.where(matched[:, None], new_xy.astype(fr.xp.dtype), fr.xp))
+    if cfg.differential_match:
+        # cfg "differential": refresh the stored descriptor each frame
+        fr = fr._replace(desc=jnp.where(matched[:, None],
+                                        descs[best_det], fr.desc))
+
+    # detections claimed by a match can't spawn (trash-row scatter drop)
+    used = jnp.zeros((K_DET,), bool).at[
+        jnp.where(matched, best_det, K_DET)].set(True)
+    n_live = jnp.sum(matched.astype(jnp.int32))
+    budget = jnp.maximum(cfg.num_features_max - n_live, 0)
+    spawn_ok = det_ok & ~used \
+        & (jnp.cumsum((det_ok & ~used).astype(jnp.int32)) <= budget)
+
+    s, fr = _spawn_detections(s, fr, det_xy, det_score, descs, spawn_ok,
+                              free=~fr.active & ~matched)
+    s = s._replace(features=fr)
     fes = FrontendState(pyr=pyr_new, initialized=jnp.asarray(True))
     return s, fes
 
@@ -217,7 +316,9 @@ def vio_frame_image(cfg: VIOConfig, s: VIOState, fes: FrontendState,
     s = jax.lax.cond(dt_eff > 0,
                      lambda s: propagate_state(cfg, s, dt_eff, True),
                      lambda s: s, s)
-    s, fes = tracker_image(cfg, s, fes, image)
+    track_fn = tracker_match if cfg.tracker_type.upper() == "MATCH" \
+        else tracker_image
+    s, fes = track_fn(cfg, s, fes, image)
     s, out = update_step(cfg, s)
     return s, fes, out
 
@@ -225,5 +326,15 @@ def vio_frame_image(cfg: VIOConfig, s: VIOState, fes: FrontendState,
 def tracker_only_frame(cfg: VIOConfig, s: VIOState, fes: FrontendState,
                        image):
     """Front-end-only step (the feature_tracker_only app,
-    src/app/feature_tracker_only.cpp): track + detect, no filter."""
+    src/app/feature_tracker_only.cpp): track + detect, no filter.
+
+    With no filter to consume TS_DROPPED rows, free them here at the
+    start of the next frame (the reference tracker erases dropped
+    features on its next Update) so slots recycle and the live count
+    stays bounded by num_features_max."""
+    fr = s.features
+    stale = fr.active & (fr.track == TS_DROPPED)
+    s = s._replace(features=_clear_feature_rows(fr, stale))
+    if cfg.tracker_type.upper() == "MATCH":
+        return tracker_match(cfg, s, fes, image)
     return tracker_image(cfg, s, fes, image)
