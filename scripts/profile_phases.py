@@ -29,7 +29,7 @@ from xivo_tpu.sim.stream import build_pcw_stream
 from tests.test_e2e_pcw import PCW_CFG
 
 B = int(os.environ.get("BENCH_BATCH", "64"))
-REPS = 30
+REPS = 100
 
 cfg = config_from_json(PCW_CFG, dtype="float32", sim_initialize_depths=True,
                        propagation_mode="fast")
@@ -55,8 +55,31 @@ inp = jax.tree.map(lambda x: jnp.broadcast_to(x[k], (B,) + x[k].shape),
                    fi)
 
 
+@jax.jit
+def _rtt_probe(x):
+    return jnp.sum(x[0, :2])
+
+
+_RTT = None
+
+
+def _measure_rtt():
+    global _RTT
+    z = jnp.ones((8, 8), jnp.float32)
+    float(_rtt_probe(z))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(_rtt_probe(z))
+    _RTT = (time.perf_counter() - t0) / 5
+    print(f"relay RTT ~ {_RTT * 1e3:.2f} ms (subtracted)")
+
+
 def timeit(name, fn, *args):
-    """fn(s, *args) -> s' ; scan REPS times over the batch, report ms."""
+    """fn(s, *args) -> s'; scan REPS iters in ONE dispatch, sync by
+    fetching a scalar (block_until_ready does not truly block through
+    the axon relay), subtract measured dispatch RTT."""
+    if _RTT is None:
+        _measure_rtt()
 
     def body2(ss, _):
         out = jax.vmap(fn)(ss, *args)
@@ -65,14 +88,13 @@ def timeit(name, fn, *args):
     @jax.jit
     def loop(ss):
         out, _ = jax.lax.scan(body2, ss, None, length=REPS)
-        return out
+        return sum(jnp.sum(l[:1].astype(jnp.float32))
+                   for l in jax.tree.leaves(out))
 
-    out = loop(s)
-    jax.block_until_ready(out.P)
+    float(loop(s))          # compile + warm
     t0 = time.perf_counter()
-    out = loop(s)
-    jax.block_until_ready(out.P)
-    wall = (time.perf_counter() - t0) / REPS * 1e3
+    float(loop(s))
+    wall = (time.perf_counter() - t0 - _RTT) / REPS * 1e3
     print(f"{name:34s} {wall:8.3f} ms/frame-batch"
           f"  ({wall / B * 1e3:7.2f} us/stream)")
     return wall

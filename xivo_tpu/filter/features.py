@@ -186,6 +186,128 @@ def subfilter_update(cam_kind: int, intrin, X, Rsbr, Tsbr, x, Psub, xp_meas,
     return x_new, P_new, outlier_inc, bad
 
 
+# ---------------------------------------------------------------------------
+# SoA "plane" algebra: small fixed-size matrices represented as nested
+# Python lists of (N,)-shaped arrays (one plane per entry). On TPU,
+# einsum/vmap over (N,3,3) arrays lowers to dot_generals whose 3-sized
+# contraction dims pad to the (8,128) tile — measured ~100x slower than
+# the same math as elementwise plane ops. The per-feature subfilter runs
+# over the whole table in this form.
+
+
+def _pm(M):
+    """(..., r, c) array -> plane-matrix (list of lists of (...,) arrays)."""
+    r, c = M.shape[-2], M.shape[-1]
+    return [[M[..., i, j] for j in range(c)] for i in range(r)]
+
+
+def _pv(v):
+    return [v[..., i] for i in range(v.shape[-1])]
+
+
+def _pm_mm(A, B):
+    """Plane-matrix product."""
+    r, k, c = len(A), len(B), len(B[0])
+    return [[sum(A[i][t] * B[t][j] for t in range(k)) for j in range(c)]
+            for i in range(r)]
+
+
+def _pm_mv(A, v):
+    return [sum(A[i][t] * v[t] for t in range(len(v))) for i in range(len(A))]
+
+
+def _pm_T(A):
+    return [[A[j][i] for j in range(len(A))] for i in range(len(A[0]))]
+
+
+def _pm_stack(A):
+    """Plane-matrix -> (..., r, c) array."""
+    return jnp.stack([jnp.stack([jnp.asarray(e) for e in row], axis=-1)
+                      for row in A], axis=-2)
+
+
+def subfilter_update_table(cam_kind: int, intrin, X, Rsbr, Tsbr, x, Psub,
+                           xp_meas, Rtri: float, MH_thresh: float):
+    """SoA version of ``subfilter_update`` over the whole feature table.
+
+    Same math as the per-feature form (Feature::SubfilterUpdate,
+    src/feature.cpp:246-297), but every 3x3/2x2 product is expanded into
+    elementwise ops over (N,) planes so nothing lowers to padded tiny
+    dot_generals. Shapes: Rsbr (N,3,3), Tsbr (N,3), x (N,3),
+    Psub (N,3,3), xp_meas (N,2). Returns (x' (N,3), Psub' (N,3,3),
+    outlier_inc (N,), bad (N,)).
+    """
+    dt = x.dtype
+    x0, x1, x2 = x[:, 0], x[:, 1], x[:, 2]
+    z = jnp.exp(x2)
+    Xc = [x0 * z, x1 * z, z]
+    zero = jnp.zeros((), dt)
+    dXc_dx = [[z, zero, x0 * z],
+              [zero, z, x1 * z],
+              [zero, zero, z]]
+
+    Rsb, Tsb = _pm(X.Rsb), _pv(X.Tsb)
+    Rbc, Tbc = _pm(X.Rbc), _pv(X.Tbc)
+    Rsbr_p, Tsbr_p = _pm(Rsbr), _pv(Tsbr)
+
+    Rcs = _pm_T(_pm_mm(Rsb, Rbc))
+    Tcs = [-t for t in _pm_mv(Rcs, [a + b for a, b in
+                                    zip(_pm_mv(Rsb, Tbc), Tsb)])]
+    Rtot = _pm_mm(Rcs, _pm_mm(Rsbr_p, Rbc))
+    Ttot = [a + b for a, b in zip(
+        _pm_mv(Rcs, [a + b for a, b in zip(_pm_mv(Rsbr_p, Tbc), Tsbr_p)]),
+        Tcs)]
+    Xcn = [a + b for a, b in zip(_pm_mv(Rtot, Xc), Ttot)]
+
+    iz = 1.0 / Xcn[2]
+    xcn0, xcn1 = Xcn[0] * iz, Xcn[1] * iz
+    dxcn_dXcn = [[iz, zero, -Xcn[0] * iz * iz],
+                 [zero, iz, -Xcn[1] * iz * iz]]
+
+    xcn = jnp.stack([xcn0, xcn1], axis=-1)
+    xp_pred, dxp, _ = jax.vmap(
+        lambda v: cam_mod.project_with_jac(cam_kind, intrin, v))(xcn)
+    dxp_p = _pm(dxp)
+
+    H = _pm_mm(_pm_mm(dxp_p, dxcn_dXcn), _pm_mm(Rtot, dXc_dx))   # 2x3
+    inn = [xp_meas[:, 0] - xp_pred[:, 0], xp_meas[:, 1] - xp_pred[:, 1]]
+
+    P = _pm(Psub)
+    PHt = _pm_mm(P, _pm_T(H))                                    # 3x2
+    S = _pm_mm(H, PHt)                                           # 2x2
+    S[0][0] = S[0][0] + Rtri
+    S[1][1] = S[1][1] + Rtri
+
+    def inv2(S):
+        det = S[0][0] * S[1][1] - S[0][1] * S[1][0]
+        return [[S[1][1] / det, -S[0][1] / det],
+                [-S[1][0] / det, S[0][0] / det]]
+
+    Si = inv2(S)
+    Sinn = _pm_mv(Si, inn)
+    ratio = (inn[0] * Sinn[0] + inn[1] * Sinn[1]) / MH_thresh
+    bad = ratio > 1.0
+    infl = jnp.where(bad, Rtri * (ratio - 1.0), 0.0)
+    S[0][0] = S[0][0] + infl
+    S[1][1] = S[1][1] + infl
+    outlier_inc = jnp.where(bad, jnp.sqrt(jnp.maximum(ratio, 0.0)), 0.0)
+
+    K = _pm_mm(PHt, inv2(S))                                     # 3x2
+    x_new = jnp.stack([xi + ki for xi, ki in
+                       zip([x0, x1, x2], _pm_mv(K, inn))], axis=-1)
+    KH = _pm_mm(K, H)                                            # 3x3
+    one = jnp.ones((), dt)
+    I_KH = [[(one if i == j else zero) - KH[i][j] for j in range(3)]
+            for i in range(3)]
+    P_new = _pm_mm(_pm_mm(I_KH, P), _pm_T(I_KH))
+    KKt = _pm_mm(K, _pm_T(K))
+    P_new = [[P_new[i][j] + Rtri * KKt[i][j] for j in range(3)]
+             for i in range(3)]
+    shaped = jnp.broadcast_to(zero, x0.shape)
+    P_new = [[e + shaped for e in row] for row in P_new]
+    return x_new, _pm_stack(P_new), outlier_inc, bad
+
+
 def triangulate_two_view(g12_R, g12_T, xc1, xc2, method: str = "dlt_avg"):
     """Two-view triangulation of Xc1 given calibrated rays.
 

@@ -25,7 +25,7 @@ from .. import cam as cam_mod
 from ..geom import so3
 from . import layout as L
 from .config import VIOConfig
-from .features import (change_owner, predict_pixel, subfilter_update,
+from .features import (change_owner, predict_pixel, subfilter_update_table,
                        triangulate_two_view, unproject_logz)
 from .propagate import imu_sample_update, propagate_state
 from .state import (FS_CREATED, FS_EMPTY, FS_GAUGE, FS_INITIALIZING,
@@ -295,9 +295,7 @@ def _process_tracks(cfg: VIOConfig, s: VIOState):
             x=jnp.where((n_tri & tri_ok)[:, None], x_tri, fr.x),
             tri_ok=jnp.where(n_tri, tri_ok, fr.tri_ok))
 
-    x_new, P_new, out_inc, bad = jax.vmap(
-        subfilter_update, in_axes=(None, None, None, 0, 0, 0, 0, 0,
-                                   None, None))(
+    x_new, P_new, out_inc, bad = subfilter_update_table(
         kind, s.cam, s.X, Rsbr, Tsbr, fr.x, fr.Psub, fr.xp,
         cfg.subfilter.Rtri, cfg.subfilter.MH_thresh)
 
