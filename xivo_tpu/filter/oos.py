@@ -137,10 +137,14 @@ def oos_update(cfg: VIOConfig, s: VIOState, candidate_rows) -> VIOState:
     slot_of_row, got = _rank_assign(
         jnp.ones((OOS_FEATURE_CAP,), bool), cand,
         -nobs.astype(s.P.dtype))
-    # row chosen for each OOS slot
-    row_of_slot = jnp.full((OOS_FEATURE_CAP,), -1, jnp.int32).at[
-        jnp.where(got, slot_of_row, OOS_FEATURE_CAP)].set(
-        jnp.arange(NF, dtype=jnp.int32))
+    # row chosen for each OOS slot (one-hot, no traced-index scatter)
+    tgt = jnp.where(got, slot_of_row, OOS_FEATURE_CAP)
+    oh = tgt[:, None] == jnp.arange(OOS_FEATURE_CAP,
+                                    dtype=jnp.int32)[None, :]   # (NF, CAP)
+    hit = jnp.any(oh, axis=0)
+    ridx = jnp.sum(oh * jnp.arange(NF, dtype=jnp.int32)[:, None], axis=0,
+                   dtype=jnp.int32)
+    row_of_slot = jnp.where(hit, ridx, -1)
 
     def one(slotrow):
         ok = slotrow >= 0

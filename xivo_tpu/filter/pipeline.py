@@ -39,29 +39,51 @@ from .update import (absorb_error, build_stacked_jacobian, joseph_update,
 # helpers
 # ---------------------------------------------------------------------------
 
+def _rank_by_key(valid_mask, order_key):
+    """Stable ascending rank of each item among ALL items (invalid items
+    get key=+inf). Sort-free: a pairwise comparison matrix (the argsort +
+    inverse-permutation-scatter formulation serializes on TPU; an N^2
+    bool reduce is fully parallel and ~free at table sizes)."""
+    N = valid_mask.shape[0]
+    key = jnp.where(valid_mask, order_key, jnp.inf)
+    idx = jnp.arange(N)
+    before = (key[None, :] < key[:, None]) \
+        | ((key[None, :] == key[:, None]) & (idx[None, :] < idx[:, None]))
+    return jnp.sum(before, axis=1).astype(jnp.int32), before
+
+
 def _rank_assign(free_mask, want_mask, order_key):
     """Assign wanted items to free slots in priority order.
 
     free_mask: (S,) free slots; want_mask: (N,) items wanting a slot;
     order_key: (N,) smaller = higher priority. Returns (slot_of_item (N,),
     got_mask (N,)): slot_of_item[i] is the assigned slot or S (trash).
+    Scatter/sort-free (one-hot matching), per the scatter-purge rule.
     """
     S = free_mask.shape[0]
-    N = want_mask.shape[0]
-    # priority rank of each wanting item
-    key = jnp.where(want_mask, order_key, jnp.inf)
-    order = jnp.argsort(key)                       # item indices by priority
-    rank_of_item = jnp.zeros(N, jnp.int32).at[order].set(
-        jnp.arange(N, dtype=jnp.int32))
-    # slot of each rank
+    rank_of_item, _ = _rank_by_key(want_mask, order_key)
+    # the rank-th free slot in slot-index order, matched one-hot
     free_rank = jnp.cumsum(free_mask.astype(jnp.int32)) - 1   # (S,)
-    slot_of_rank = jnp.full((N,), S, jnp.int32)
-    slot_of_rank = slot_of_rank.at[jnp.where(free_mask, free_rank, N)].set(
-        jnp.arange(S, dtype=jnp.int32))
     n_free = jnp.sum(free_mask.astype(jnp.int32))
     got = want_mask & (rank_of_item < n_free)
-    slot = jnp.where(got, slot_of_rank[jnp.clip(rank_of_item, 0, N - 1)], S)
+    match = free_mask[None, :] & (free_rank[None, :] == rank_of_item[:, None])
+    slot_i = jnp.sum(match * jnp.arange(S, dtype=jnp.int32)[None, :],
+                     axis=1, dtype=jnp.int32)
+    slot = jnp.where(got, slot_i, S)
     return slot.astype(jnp.int32), got
+
+
+def _place_one_hot(tgt_slot, n_slots, old_map):
+    """One-hot replacement for ``old_map.at[tgt_slot].set(arange(N))``
+    with a trash index == n_slots: returns (new_map, hit_mask, row_of_slot)
+    where row_of_slot is -1 on unhit slots."""
+    N = tgt_slot.shape[0]
+    oh = tgt_slot[:, None] == jnp.arange(n_slots, dtype=jnp.int32)[None, :]
+    hit = jnp.any(oh, axis=0)
+    rowidx = jnp.sum(oh * jnp.arange(N, dtype=jnp.int32)[:, None], axis=0,
+                     dtype=jnp.int32)
+    new_map = jnp.where(hit, rowidx, old_map)
+    return new_map, hit, jnp.where(hit, rowidx, -1)
 
 
 def _feature_keep_vector(cfg: VIOConfig, slot_mask, dtype):
@@ -107,10 +129,10 @@ def _remove_features_from_state(cfg: VIOConfig, s: VIOState, row_mask):
     """
     fr = s.features
     hit = row_mask & (fr.sind >= 0)
-    # slot mask: scatter rows' slots
-    slot_mask = jnp.zeros((cfg.dims.n_features,), bool)
-    slot_mask = slot_mask.at[jnp.where(hit, fr.sind, cfg.dims.n_features)
-                             ].set(True)
+    # slot mask of the hit rows, one-hot (no traced-index scatter)
+    slot_mask = jnp.any(
+        hit[:, None] & (fr.sind[:, None]
+                        == jnp.arange(cfg.dims.n_features)[None, :]), axis=0)
     P = zero_state_entries(
         s.P, _feature_keep_vector(cfg, slot_mask, s.P.dtype) > 0)
     f2row = jnp.where(slot_mask, -1, s.f2row)
@@ -123,9 +145,9 @@ def _remove_groups_from_state(cfg: VIOConfig, s: VIOState, grow_mask):
     """Free EKF slots of masked group rows (RemoveGroupFromState parity)."""
     gr = s.groups
     hit = grow_mask & (gr.sind >= 0)
-    slot_mask = jnp.zeros((cfg.dims.n_groups,), bool)
-    slot_mask = slot_mask.at[jnp.where(hit, gr.sind, cfg.dims.n_groups)
-                             ].set(True)
+    slot_mask = jnp.any(
+        hit[:, None] & (gr.sind[:, None]
+                        == jnp.arange(cfg.dims.n_groups)[None, :]), axis=0)
     P = zero_state_entries(
         s.P, _group_keep_vector(cfg, slot_mask, s.P.dtype) > 0)
     g2row = jnp.where(slot_mask, -1, s.g2row)
@@ -199,20 +221,28 @@ def tracker_pointcloud(cfg: VIOConfig, s: VIOState, meas_id, meas_xp,
     slot_of_meas, got = _rank_assign(
         ~fr.active & ~tracked, to_create,
         jnp.arange(M, dtype=fr.xp.dtype))
+    # one-hot placement of the new tracks (no traced-index scatters)
     tgt = jnp.where(got, slot_of_meas, NF)
+    oh = tgt[:, None] == jnp.arange(NF, dtype=jnp.int32)[None, :]  # (M, NF)
+    hit = jnp.any(oh, axis=0)
+    ohf = oh.astype(fr.xp.dtype)
+    new_fid = jnp.sum(oh * meas_id.astype(jnp.int32)[:, None], axis=0,
+                      dtype=jnp.int32)
+    new_xp = jnp.einsum("mf,mk->fk", ohf, meas_xp.astype(fr.xp.dtype))
+    new_depth = ohf.T @ meas_depth.astype(fr.xp.dtype)
     fr = fr._replace(
-        fid=fr.fid.at[tgt].set(meas_id.astype(jnp.int32)),
-        status=fr.status.at[tgt].set(FS_CREATED),
-        track=fr.track.at[tgt].set(TS_CREATED),
-        ref=fr.ref.at[tgt].set(-1),
-        sind=fr.sind.at[tgt].set(-1),
-        init_counter=fr.init_counter.at[tgt].set(0),
-        lifetime=fr.lifetime.at[tgt].set(0),
-        outlier_counter=fr.outlier_counter.at[tgt].set(0.0),
-        xp=fr.xp.at[tgt].set(meas_xp.astype(fr.xp.dtype)),
-        tri_ok=fr.tri_ok.at[tgt].set(False),
-        adj=fr.adj.at[tgt].set(False),
-        sim_depth=fr.sim_depth.at[tgt].set(meas_depth.astype(fr.xp.dtype)),
+        fid=jnp.where(hit, new_fid, fr.fid),
+        status=jnp.where(hit, FS_CREATED, fr.status),
+        track=jnp.where(hit, TS_CREATED, fr.track),
+        ref=jnp.where(hit, -1, fr.ref),
+        sind=jnp.where(hit, -1, fr.sind),
+        init_counter=jnp.where(hit, 0, fr.init_counter),
+        lifetime=jnp.where(hit, 0, fr.lifetime),
+        outlier_counter=jnp.where(hit, 0.0, fr.outlier_counter),
+        xp=jnp.where(hit[:, None], new_xp, fr.xp),
+        tri_ok=jnp.where(hit, False, fr.tri_ok),
+        adj=jnp.where(hit[:, None], False, fr.adj),
+        sim_depth=jnp.where(hit, new_depth, fr.sim_depth),
     )
     return s._replace(features=fr)
 
@@ -243,8 +273,9 @@ def _process_tracks(cfg: VIOConfig, s: VIOState):
 
     # 1) instate features dropped by the tracker -> free slot, mark group
     inst_drop = dropped & instate
-    affected = jnp.zeros((NG,), bool)
-    affected = affected.at[jnp.where(inst_drop, fr.ref, NG)].set(True)
+    affected = jnp.any(
+        inst_drop[:, None] & (fr.ref[:, None] == jnp.arange(NG)[None, :]),
+        axis=0)
     s = _remove_features_from_state(cfg, s, inst_drop)
 
     # 1b) MSCKF/OOS update: never-instate features leaving the tracker
@@ -327,8 +358,11 @@ def _add_feature_blocks(cfg: VIOConfig, P, fr: FeatureTable, new_slot_mask,
     d = cfg.dims
     P = zero_state_entries(
         P, _feature_keep_vector(cfg, new_slot_mask, P.dtype) > 0)
-    rows = jnp.clip(row_of_slot, 0, fr.fid.shape[0] - 1)
-    blocks = jnp.where(new_slot_mask[:, None, None], fr.Psub[rows], 0.0)
+    # one-hot gather of each slot's subfilter block (no traced-index gather)
+    NF = fr.fid.shape[0]
+    oh = ((row_of_slot[:, None] == jnp.arange(NF)[None, :])
+          & new_slot_mask[:, None]).astype(P.dtype)        # (S, NF)
+    blocks = jnp.einsum("sf,fij->sij", oh, fr.Psub.astype(P.dtype))
     eye = jnp.eye(d.n_features, dtype=P.dtype)
     BD = jnp.einsum("fij,fg->figj", blocks, eye).reshape(
         3 * d.n_features, 3 * d.n_features)
@@ -432,16 +466,17 @@ def _admit_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
 
     # rank eligible groups by candidate count (desc); admit while the
     # cumulative feature demand fits the free feature slots and group
-    # slots remain (the loop-termination conditions of the reference)
-    order = jnp.argsort(jnp.where(eligible, -n_cand, 1))
-    demand = jnp.where(eligible, n_cand, 0)[order]
-    cum_before = jnp.cumsum(demand) - demand
-    rank = jnp.arange(NG)
-    take_sorted = eligible[order] & (rank < free_gslots) \
+    # slots remain (the loop-termination conditions of the reference).
+    # Sort/scatter-free: pairwise-comparison rank + masked reduction for
+    # the cumulative demand of higher-priority groups.
+    key = jnp.where(eligible, -n_cand, 1)
+    rank, before = _rank_by_key(jnp.ones((NG,), bool), key.astype(jnp.int32))
+    demand = jnp.where(eligible, n_cand, 0)
+    cum_before = jnp.sum(before * demand[None, :], axis=1, dtype=jnp.int32)
+    take = eligible & (rank < free_gslots) \
         & (rank < cfg.max_group_admissions) \
         & (cum_before < jnp.maximum(
             free_fslots - max(cfg.num_gauge_xy_features, 1) + 1, 0))
-    take = jnp.zeros((NG,), bool).at[order].set(take_sorted)
 
     def admit(s: VIOState) -> VIOState:
         fr, gr = s.features, s.groups
@@ -451,20 +486,22 @@ def _admit_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
         tgt = jnp.where(got_g, gslot_of_row, G)
         gr = gr._replace(sind=jnp.where(got_g, gslot_of_row.astype(
             jnp.int32), gr.sind))
-        g2row = s.g2row.at[tgt].set(jnp.arange(NG, dtype=jnp.int32))
+        g2row, new_slot, _ = _place_one_hot(tgt, G, s.g2row)
         # covariance init for ALL new slots at once: every entry of an
-        # admitted slot's block reads from the (Wsb, Tsb) rows
-        new_slot = jnp.zeros((G,), bool).at[tgt].set(True)
-        base = jnp.arange(d.full)
-        within = (base - L.GROUP_BEGIN) % 6
-        slot_of_entry = jnp.clip((base - L.GROUP_BEGIN) // 6, 0, G - 1)
-        src_motion = jnp.where(within < 3, L.WSB + within,
-                               L.TSB + (within - 3))
-        in_group_region = (base >= L.GROUP_BEGIN) \
-            & (base < L.GROUP_BEGIN + 6 * G)
-        idx = jnp.where(in_group_region & new_slot[slot_of_entry],
-                        src_motion, base)
-        P = s.P[idx][:, idx]
+        # admitted slot's block reads from the (Wsb, Tsb) rows. The source
+        # indices are STATIC (only the which-slot mask is traced), so this
+        # is static slicing + select rather than a traced-index gather.
+        gb, ge = L.GROUP_BEGIN, L.GROUP_BEGIN + 6 * G
+        sel = jnp.repeat(new_slot, 6)                              # (6G,)
+        P = s.P
+        src_rows = jnp.tile(jnp.concatenate(
+            [P[L.WSB:L.WSB + 3], P[L.TSB:L.TSB + 3]], axis=0), (G, 1))
+        grows = jnp.where(sel[:, None], src_rows, P[gb:ge])
+        P = jnp.concatenate([P[:gb], grows, P[ge:]], axis=0)
+        src_cols = jnp.tile(jnp.concatenate(
+            [P[:, L.WSB:L.WSB + 3], P[:, L.TSB:L.TSB + 3]], axis=1), (1, G))
+        gcols = jnp.where(sel[None, :], src_cols, P[:, gb:ge])
+        P = jnp.concatenate([P[:, :gb], gcols, P[:, ge:]], axis=1)
         s = s._replace(groups=gr, g2row=g2row, P=P)
         # admit candidate features of all taken groups in one pass
         want = cand & take[jnp.clip(fr.ref, 0, NG - 1)] & (fr.ref >= 0)
@@ -482,16 +519,13 @@ def _commit_feature_admissions(cfg: VIOConfig, s: VIOState, slot_of_row,
     fr = s.features
     NF = fr.fid.shape[0]
     tgt_slot = jnp.where(got, slot_of_row, d.n_features)
-    f2row = s.f2row.at[tgt_slot].set(
-        jnp.arange(NF, dtype=jnp.int32))
-    new_slot_mask = jnp.zeros((d.n_features,), bool).at[tgt_slot].set(True)
+    f2row, new_slot_mask, row_of_slot = _place_one_hot(
+        tgt_slot, d.n_features, s.f2row)
     fr = fr._replace(
         sind=jnp.where(got, slot_of_row.astype(jnp.int32), fr.sind),
         status=jnp.where(got, FS_INSTATE, fr.status),
         # FEJ linearization point frozen at EKF admission
         x_fej=jnp.where(got[:, None], fr.x, fr.x_fej))
-    row_of_slot = jnp.full((d.n_features,), -1, jnp.int32).at[
-        tgt_slot].set(jnp.arange(NF, dtype=jnp.int32))
     P = _add_feature_blocks(cfg, s.P, fr, new_slot_mask, row_of_slot)
     s = s._replace(features=fr, f2row=f2row, P=P)
     if cfg.approximate_init_covariance:
@@ -610,11 +644,13 @@ def _one_pt_ransac(cfg: VIOConfig, s: VIOState, inlier_slots):
         s, li, hi = s_and_masks
         fr, gr = s.features, s.groups
         NGR = gr.gid.shape[0]
-        # groups owning at least one low-innovation inlier
-        li_rows = jnp.zeros((d.nf_rows,), bool).at[
-            jnp.where(li, s.f2row, d.nf_rows)].set(True)
-        g_with_li = jnp.zeros((NGR,), bool).at[
-            jnp.where(li_rows & (fr.ref >= 0), fr.ref, NGR)].set(True)
+        # groups owning at least one low-innovation inlier (one-hot)
+        li_rows = jnp.any(
+            li[:, None] & (s.f2row[:, None]
+                           == jnp.arange(d.nf_rows)[None, :]), axis=0)
+        g_with_li = jnp.any(
+            (li_rows & (fr.ref >= 0))[:, None]
+            & (fr.ref[:, None] == jnp.arange(NGR)[None, :]), axis=0)
 
         # unobservable-direction guard: zero covariance of non-li feature
         # slots and of instate groups with no li feature (plus a temporary
@@ -677,11 +713,13 @@ def _refresh_gauge_features(cfg: VIOConfig, s: VIOState) -> VIOState:
         promote = cand & (rank < deficit[jnp.clip(fr.ref, 0, NG - 1)])
 
         fr = fr._replace(status=jnp.where(promote, FS_GAUGE, fr.status))
-        # freeze XY covariance of promoted slots
-        slot_mask2 = jnp.zeros((cfg.dims.n_features, 3), bool)
-        tgt = jnp.where(promote, fr.sind, cfg.dims.n_features)
-        slot_mask2 = slot_mask2.at[tgt, 0].set(True)
-        slot_mask2 = slot_mask2.at[tgt, 1].set(True)
+        # freeze XY covariance of promoted slots (one-hot slot mask)
+        hitslot = jnp.any(
+            promote[:, None] & (fr.sind[:, None]
+                                == jnp.arange(cfg.dims.n_features)[None, :]),
+            axis=0)
+        xy = jnp.array([True, True, False])
+        slot_mask2 = hitslot[:, None] & xy[None, :]
         keep = jnp.ones((cfg.dims.full,), s.P.dtype)
         keep = keep.at[cfg.dims.feature_begin:].set(
             jnp.where(slot_mask2.reshape(-1), 0.0, 1.0))
@@ -717,10 +755,10 @@ def _switch_gauge_group(cfg: VIOConfig, s: VIOState) -> VIOState:
         off = L.GROUP_BEGIN + 6 * gslot
         start = jnp.where(cfg.group_degrees_fixed == 4, off + 2, off)
         n_fix = cfg.group_degrees_fixed
-        idx = start + jnp.arange(6)
-        fix = jnp.arange(6) < n_fix
-        keep = jnp.ones((cfg.dims.full,), s.P.dtype)
-        keep = keep.at[jnp.where(fix, idx, cfg.dims.full)].set(0.0)
+        entry = jnp.arange(cfg.dims.full)
+        keep = jnp.where((entry >= start) & (entry < start + n_fix),
+                         jnp.zeros((), s.P.dtype),
+                         jnp.ones((), s.P.dtype))
         P = zero_state_entries(s.P, keep > 0)
         return s._replace(P=P, gauge_row=row)
 
@@ -733,8 +771,9 @@ def _enforce_max_group_lifetime(cfg: VIOConfig, s: VIOState) -> VIOState:
     """EnforceMaxGroupLifetime (src/manager.cpp:282-306)."""
     fr, gr = s.features, s.groups
     NG = gr.gid.shape[0]
-    is_ref = jnp.zeros((NG,), bool).at[
-        jnp.where(fr.active & (fr.ref >= 0), fr.ref, NG)].set(True)
+    is_ref = jnp.any(
+        (fr.active & (fr.ref >= 0))[:, None]
+        & (fr.ref[:, None] == jnp.arange(NG)[None, :]), axis=0)
     old = gr.active & (gr.lifetime > cfg.max_group_lifetime) & ~is_ref \
         & ~gr.instate
     gr = gr._replace(gid=jnp.where(old, -1, gr.gid),
@@ -762,8 +801,9 @@ def _create_group_and_init_tracks(cfg: VIOConfig, s: VIOState) -> VIOState:
     #      and drop every feature anchored to it (they lose their anchor).
     # Never an instate row: those carry EKF state.
     free = ~gr.active
-    is_ref = jnp.zeros((NG,), bool).at[
-        jnp.where(fr.active & (fr.ref >= 0), fr.ref, NG)].set(True)
+    is_ref = jnp.any(
+        (fr.active & (fr.ref >= 0))[:, None]
+        & (fr.ref[:, None] == jnp.arange(NG)[None, :]), axis=0)
     evictable = gr.active & ~gr.instate & ~is_ref
     forceable = gr.active & ~gr.instate
     pick_free = jnp.any(free)
@@ -894,15 +934,16 @@ def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
     rejected_slots = sj.valid & ~inlier_slots
     num_rej = jnp.sum(rejected_slots.astype(jnp.int32))
 
-    # rejected features: destroy + mark their groups affected
+    # rejected features: destroy + mark their groups affected (one-hot)
     rej_rows_idx = jnp.where(rejected_slots, s.f2row, -1)
-    rej_rows = jnp.zeros((cfg.dims.nf_rows,), bool).at[
-        jnp.where(rej_rows_idx >= 0, rej_rows_idx,
-                  cfg.dims.nf_rows)].set(True)
+    rej_rows = jnp.any(
+        (rej_rows_idx >= 0)[:, None]
+        & (rej_rows_idx[:, None] == jnp.arange(cfg.dims.nf_rows)[None, :]),
+        axis=0)
     NG = cfg.dims.ng_rows
-    affected = affected.at[
-        jnp.where(rej_rows & (s.features.ref >= 0), s.features.ref, NG)
-    ].set(True)
+    affected = affected | jnp.any(
+        (rej_rows & (s.features.ref >= 0))[:, None]
+        & (s.features.ref[:, None] == jnp.arange(NG)[None, :]), axis=0)
     s = _remove_features_from_state(cfg, s, rej_rows)
     s = s._replace(features=_clear_feature_rows(s.features, rej_rows))
 
@@ -913,12 +954,13 @@ def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
     if cfg.use_1pt_RANSAC:
         s, inlier_slots, ransac_rej = _one_pt_ransac(cfg, s, inlier_slots)
         rej_rows_idx = jnp.where(ransac_rej, s.f2row, -1)
-        rej_rows = jnp.zeros((cfg.dims.nf_rows,), bool).at[
-            jnp.where(rej_rows_idx >= 0, rej_rows_idx,
-                      cfg.dims.nf_rows)].set(True)
-        affected2 = jnp.zeros((NG,), bool).at[
-            jnp.where(rej_rows & (s.features.ref >= 0), s.features.ref, NG)
-        ].set(True)
+        rej_rows = jnp.any(
+            (rej_rows_idx >= 0)[:, None]
+            & (rej_rows_idx[:, None]
+               == jnp.arange(cfg.dims.nf_rows)[None, :]), axis=0)
+        affected2 = jnp.any(
+            (rej_rows & (s.features.ref >= 0))[:, None]
+            & (s.features.ref[:, None] == jnp.arange(NG)[None, :]), axis=0)
         num_rej = num_rej + jnp.sum(ransac_rej.astype(jnp.int32))
         s = _remove_features_from_state(cfg, s, rej_rows)
         s = s._replace(features=_clear_feature_rows(s.features, rej_rows))
@@ -947,8 +989,12 @@ def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
     # (Feature::Predict bookkeeping, src/estimator.cpp:1251)
     fr = s.features
     tgt_rows = jnp.where(sj2.valid, s.f2row, cfg.dims.nf_rows)
-    fr = fr._replace(pred=fr.pred.at[tgt_rows].set(
-        sj2.pred.astype(fr.pred.dtype)))
+    oh_pred = (tgt_rows[:, None]
+               == jnp.arange(cfg.dims.nf_rows)[None, :])       # (S, NF)
+    hit_pred = jnp.any(oh_pred, axis=0)
+    new_pred = jnp.einsum("sf,sk->fk", oh_pred.astype(fr.pred.dtype),
+                          sj2.pred.astype(fr.pred.dtype))
+    fr = fr._replace(pred=jnp.where(hit_pred[:, None], new_pred, fr.pred))
     s = s._replace(features=fr)
 
     # post-update bookkeeping
