@@ -169,8 +169,9 @@ def tracker_image(cfg: VIOConfig, s: VIOState, fes: FrontendState,
             xp=jnp.where(revive[:, None], rx.astype(fr.xp.dtype), fr.xp))
         tracked = tracked | revive
         dropped = dropped & ~revive
-        used = jnp.zeros((K_DET,), bool).at[
-            jnp.where(revive, best_det, K_DET)].set(True)
+        used = jnp.any(
+            revive[:, None] & (best_det[:, None]
+                               == jnp.arange(K_DET)[None, :]), axis=0)
         det_ok = det_ok & ~used
 
     s, fr = _spawn_detections(s, fr, det_xy, det_score, descs, det_ok,
@@ -192,20 +193,29 @@ def _spawn_detections(s: VIOState, fr, det_xy, det_score, descs, det_ok,
     dtype = fr.xp.dtype
     new_fids = (s.next_fid + jnp.cumsum(got.astype(jnp.int32)) - 1
                 ).astype(jnp.int32)
+    # one-hot placement (no traced-index scatters)
+    oh = tgt[:, None] == jnp.arange(NF, dtype=jnp.int32)[None, :]  # (K, NF)
+    hit = jnp.any(oh, axis=0)
+    ohf = oh.astype(dtype)
+    put_fid = jnp.sum(oh * new_fids[:, None], axis=0, dtype=jnp.int32)
+    put_xy = jnp.einsum("kf,kc->fc", ohf, det_xy.astype(dtype))
+    put_desc = jnp.sum(oh[:, :, None] * descs[:, None, :], axis=0,
+                       dtype=descs.dtype)
     fr = fr._replace(
-        fid=fr.fid.at[tgt].set(new_fids),
-        status=fr.status.at[tgt].set(FS_CREATED),
-        track=fr.track.at[tgt].set(TS_CREATED),
-        ref=fr.ref.at[tgt].set(-1),
-        sind=fr.sind.at[tgt].set(-1),
-        init_counter=fr.init_counter.at[tgt].set(0),
-        lifetime=fr.lifetime.at[tgt].set(0),
-        outlier_counter=fr.outlier_counter.at[tgt].set(0.0),
-        xp=fr.xp.at[tgt].set(det_xy.astype(dtype)),
-        tri_ok=fr.tri_ok.at[tgt].set(False),
-        adj=fr.adj.at[tgt].set(False),
-        sim_depth=fr.sim_depth.at[tgt].set(-1.0),
-        desc=fr.desc.at[tgt].set(descs),
+        fid=jnp.where(hit, put_fid, fr.fid),
+        status=jnp.where(hit, FS_CREATED, fr.status),
+        track=jnp.where(hit, TS_CREATED, fr.track),
+        ref=jnp.where(hit, -1, fr.ref),
+        sind=jnp.where(hit, -1, fr.sind),
+        init_counter=jnp.where(hit, 0, fr.init_counter),
+        lifetime=jnp.where(hit, 0, fr.lifetime),
+        outlier_counter=jnp.where(hit, 0.0, fr.outlier_counter),
+        xp=jnp.where(hit[:, None], put_xy, fr.xp),
+        tri_ok=jnp.where(hit, False, fr.tri_ok),
+        adj=jnp.where(hit[:, None], False, fr.adj),
+        sim_depth=jnp.where(hit, jnp.asarray(-1.0, fr.sim_depth.dtype),
+                            fr.sim_depth),
+        desc=jnp.where(hit[:, None], put_desc, fr.desc),
     )
     s = s._replace(next_fid=s.next_fid + jnp.sum(got.astype(jnp.int32)))
     return s, fr
