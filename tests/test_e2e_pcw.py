@@ -88,6 +88,18 @@ def test_pcw_filter_health(scan_result):
     assert np.allclose(P, P.T, atol=1e-8)
 
 
+def test_huber_and_angular_triangulation_options():
+    """use_huber (HuberOnInnovation parity) and the l2/linf angular
+    triangulation methods run end-to-end and still track ground truth."""
+    cfg = config_from_json(
+        dict(PCW_CFG, use_huber=True, triangulate_pre_subfilter=True,
+             triangulation={"method": "l2_angular"}),
+        dtype="float64", sim_initialize_depths=True)
+    _, outs, gt = run_scan(cfg, total_time=4.0, noise_px=0.25)
+    err = np.linalg.norm(np.asarray(outs.Tsb) - gt["Tsb"], axis=1)
+    assert np.sqrt(np.mean(err ** 2)) < 0.12
+
+
 def test_scan_matches_streaming():
     """lax.scan over packed inputs == the streaming API, frame by frame."""
     from xivo_tpu.api import Estimator

@@ -150,10 +150,60 @@ def test_triangulation_methods():
     Xc2 = R12.T @ (Xc1 - T12)
     xc1 = jnp.asarray(Xc1[:2] / Xc1[2])
     xc2 = jnp.asarray(Xc2[:2] / Xc2[2])
-    for method in ("dlt_avg", "dlt_svd", "l1_angular"):
+    for method in ("dlt_avg", "dlt_svd", "l1_angular", "l2_angular",
+                   "linf_angular"):
         out = triangulate_two_view(jnp.asarray(R12), jnp.asarray(T12),
                                    xc1, xc2, method)
-        assert np.allclose(out, Xc1, atol=1e-8), (method, out)
+        assert np.allclose(out, Xc1, atol=1e-7), (method, out)
+
+
+def test_triangulation_checks():
+    # noise-free geometry passes all checks; behind-camera point fails
+    # cheirality; near-zero parallax fails the beta check
+    from xivo_tpu.filter.features import triangulate_two_view_checked
+    Xc1 = np.array([0.3, -0.2, 2.0])
+    R12 = np.asarray(so3.exp(jnp.asarray([0.02, 0.3, -0.01])))
+    T12 = np.array([0.5, 0.05, 0.1])
+    Xc2 = R12.T @ (Xc1 - T12)
+    xc1 = jnp.asarray(Xc1[:2] / Xc1[2])
+    xc2 = jnp.asarray(Xc2[:2] / Xc2[2])
+    for method in ("l1_angular", "l2_angular", "linf_angular"):
+        out, ok = triangulate_two_view_checked(
+            jnp.asarray(R12), jnp.asarray(T12), xc1, xc2, method,
+            max_theta_thresh=0.1 * np.pi / 180,
+            beta_thresh=0.25 * np.pi / 180)
+        assert bool(ok), method
+        assert np.allclose(out, Xc1, atol=1e-7), (method, out)
+
+    # cheirality: point behind camera 1
+    Xb = np.array([0.1, 0.1, -2.0])
+    Xb2 = R12.T @ (Xb - T12)
+    _, ok = triangulate_two_view_checked(
+        jnp.asarray(R12), jnp.asarray(T12),
+        jnp.asarray(Xb[:2] / Xb[2]), jnp.asarray(Xb2[:2] / Xb2[2]),
+        "l1_angular", max_theta_thresh=np.pi, beta_thresh=0.0)
+    assert not bool(ok)
+
+    # parallax: nearly-identical camera centers -> beta below threshold
+    T_tiny = np.array([1e-6, 0.0, 0.0])
+    Xc2t = R12.T @ (Xc1 - T_tiny)
+    _, ok = triangulate_two_view_checked(
+        jnp.asarray(R12), jnp.asarray(T_tiny), xc1,
+        jnp.asarray(Xc2t[:2] / Xc2t[2]), "l2_angular",
+        max_theta_thresh=np.pi, beta_thresh=0.25 * np.pi / 180)
+    assert not bool(ok)
+
+
+def test_huber_robustify_R():
+    from xivo_tpu.filter.update import huber_robustify_R
+    R = 2.0
+    thresh = 1.1
+    inn = jnp.asarray([0.1, -0.1,        # small block: untouched
+                       10.0, 0.0])       # large block: inflated
+    diagR = np.asarray(huber_robustify_R(inn, R, thresh, jnp.float64))
+    assert np.allclose(diagR[:2], R)
+    ratio = 100.0 / (2 * R) / thresh
+    assert np.allclose(diagR[2:], R * np.sqrt(ratio))
 
 
 def test_change_owner_roundtrip():

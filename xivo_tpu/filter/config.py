@@ -82,6 +82,10 @@ class VIOConfig:
     MH_adjust_factor: float = 1.1
     mh_relax_rounds: int = 20        # static bound on threshold-relaxation loop
     use_1pt_RANSAC: bool = False
+    # Huber-on-innovation R inflation (reference defines HuberOnInnovation,
+    # src/estimator.cpp:1290-1306, but never calls it; gated option here)
+    use_huber: bool = False
+    outlier_thresh: float = 1.1
     ransac_thresh: float = 5.0
     ransac_prob: float = 0.95
     ransac_Chi2: float = 5.89
@@ -305,6 +309,8 @@ def config_from_json(cfg: dict, dims: Optional[Dims] = None,
         MH_thresh=cfg.get("MH_thresh", 5.991),
         MH_adjust_factor=cfg.get("MH_adjust_factor", 1.1),
         use_1pt_RANSAC=cfg.get("use_1pt_RANSAC", False),
+        use_huber=cfg.get("use_huber", False),
+        outlier_thresh=cfg.get("outlier_thresh", 1.1),
         ransac_thresh=cfg.get("1pt_RANSAC_thresh", 5.0),
         ransac_prob=cfg.get("1pt_RANSAC_prob", 0.95),
         ransac_Chi2=cfg.get("1pt_RANSAC_Chi2", 5.89),

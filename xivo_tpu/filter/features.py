@@ -346,32 +346,129 @@ def triangulate_two_view(g12_R, g12_T, xc1, xc2, method: str = "dlt_avg"):
         _, _, vt = jnp.linalg.svd(A)
         Xh = vt[-1]
         return Xh[:3] / jnp.where(jnp.abs(Xh[3]) < 1e-12, 1e-12, Xh[3])
-    # l1_angular (Lee & Civera): pick the ray with smaller sine error,
-    # intersect depth along the better-conditioned direction
-    d1 = jnp.array([xc1[0], xc1[1], 1.0])
-    f2 = jnp.array([xc2[0], xc2[1], 1.0])
-    d2g = g12_R @ f2
-    t = g12_T
-    n1 = jnp.cross(d1, t)
-    n2 = jnp.cross(d2g, t)
-    # depth along ray 1 minimizing L1 angular error: project onto the
-    # epipolar plane of the larger-magnitude normal
-    use1 = jnp.linalg.norm(n1) >= jnp.linalg.norm(n2)
-    n = jnp.where(use1, n1 / (jnp.linalg.norm(n1) + 1e-20),
-                  n2 / (jnp.linalg.norm(n2) + 1e-20))
-    d1c = jnp.where(use1, d1, d1 - (d1 @ n) * n)
-    d2c = jnp.where(use1, d2g - (d2g @ n) * n, d2g)
-    # closest point on corrected rays (same midpoint formula)
-    a = d1c @ d1c
-    b = d1c @ d2c
-    c = d2c @ d2c
-    d = d1c @ t
-    e = d2c @ t
-    den = a * c - b * b
-    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
-    t1 = (c * d - b * e) / den
-    t2 = (b * d - a * e) / den
-    return 0.5 * (t1 * d1c + (t + t2 * d2c))
+    X, _ = _triangulate_angular(g12_R, g12_T, xc1, xc2, method,
+                                max_theta_thresh=jnp.pi, beta_thresh=0.0)
+    return X
+
+
+def _triangulate_angular(g12_R, g12_T, xc1, xc2, method,
+                         max_theta_thresh, beta_thresh):
+    """Optimal angular two-view triangulation (Lee & Civera, ICCV'17).
+
+    Mirrors L1Angular / L2Angular / LinfAngular (src/helpers.cpp:156-371):
+    rotate the reference ray into the second frame, correct the rays onto a
+    common epipolar plane with normal chosen per the L1/L2/Linf criterion,
+    intersect, and map back to the reference (cam-1) frame. Returns
+    ``(Xc1, ok)`` with ok = cheirality ∧ angular-reprojection ∧ parallax
+    (src/helpers.cpp:357-371 check_* trio). One deliberate deviation: the
+    reference's LinfAngular forgets to normalize ``n_prime_hat``
+    (src/helpers.cpp:300) making its ray "projection" scale-dependent; we
+    normalize (the paper's correct form).
+    """
+    eps = 1e-20
+    # frame mapping: our cam1 (reference obs) = the paper's frame 0, our
+    # cam2 (current obs) = frame 1; all corrections happen in frame 1.
+    R10 = g12_R.T
+    t10 = -(R10 @ g12_T)
+    f0 = jnp.array([xc1[0], xc1[1], 1.0])
+    f0 = f0 / (jnp.linalg.norm(f0) + eps)
+    f1 = jnp.array([xc2[0], xc2[1], 1.0])
+    f1 = f1 / (jnp.linalg.norm(f1) + eps)
+    m0 = R10 @ f0
+    m1 = f1
+
+    def _unit(v):
+        return v / (jnp.linalg.norm(v) + eps)
+
+    if method == "l1_angular":
+        # correct only the ray with the smaller sine-of-angle to t10,
+        # projecting it onto the other ray's epipolar plane
+        a0 = jnp.linalg.norm(jnp.cross(_unit(m0), t10))
+        a1 = jnp.linalg.norm(jnp.cross(_unit(m1), t10))
+        n0 = _unit(jnp.cross(m0, t10))
+        n1 = _unit(jnp.cross(m1, t10))
+        fix0 = a0 <= a1
+        m0p = jnp.where(fix0, m0 - (m0 @ n1) * n1, m0)
+        m1p = jnp.where(fix0, m1, m1 - (m1 @ n0) * n0)
+    elif method == "l2_angular":
+        # plane normal = second right-singular vector of
+        # B = [m0_hat m1_hat]^T (I - t10_hat t10_hat^T)
+        # (src/helpers.cpp:238-250). t10_hat is an EXACT null vector of B,
+        # so V.col(1) is B's smallest singular direction within the plane
+        # perpendicular to t10 — computed here closed-form by restricting B
+        # to an orthonormal basis {e1,e2} of that plane and taking the
+        # smallest eigenvector of the 2x2 normal matrix (degenerate-safe
+        # where a generic 3x3 eigh is not: noise-free data makes
+        # {t10_hat, n} a TWO-dimensional nullspace).
+        t10_hat = _unit(t10)
+        seed = jnp.where(jnp.abs(t10_hat[0]) < 0.9,
+                         jnp.array([1.0, 0.0, 0.0], t10.dtype),
+                         jnp.array([0.0, 1.0, 0.0], t10.dtype))
+        e1 = _unit(jnp.cross(t10_hat, seed))
+        e2 = jnp.cross(t10_hat, e1)
+        A = jnp.stack([_unit(m0), _unit(m1)])            # (2,3) rows
+        C = A @ jnp.stack([e1, e2], axis=1)              # (2,2)
+        M = C.T @ C
+        a, b, c = M[0, 0], M[0, 1], M[1, 1]
+        lam_min = 0.5 * (a + c) - jnp.sqrt(0.25 * (a - c) ** 2 + b * b)
+        # eigenvector of the smaller eigenvalue, branchless conditioning
+        v_a = jnp.stack([b, lam_min - a])
+        v_b = jnp.stack([lam_min - c, b])
+        w = jnp.where(jnp.linalg.norm(v_a) >= jnp.linalg.norm(v_b), v_a, v_b)
+        # b ~ 0 and a ~ c makes both candidates vanish; fall back to the
+        # axis of the smaller diagonal entry
+        w = jnp.where(jnp.linalg.norm(w) < eps,
+                      jnp.where(a <= c, jnp.array([1.0, 0.0], M.dtype),
+                                jnp.array([0.0, 1.0], M.dtype)), w)
+        w = w / (jnp.linalg.norm(w) + eps)
+        n_hat = w[0] * e1 + w[1] * e2
+        m0p = m0 - (m0 @ n_hat) * n_hat
+        m1p = m1 - (m1 @ n_hat) * n_hat
+    elif method == "linf_angular":
+        na = jnp.cross(_unit(m0) + _unit(m1), t10)
+        nb = jnp.cross(_unit(m0) - _unit(m1), t10)
+        n_hat = _unit(jnp.where(jnp.linalg.norm(na) >= jnp.linalg.norm(nb),
+                                na, nb))
+        m0p = m0 - (m0 @ n_hat) * n_hat
+        m1p = m1 - (m1 @ n_hat) * n_hat
+    else:
+        raise ValueError(f"unknown triangulation method {method!r}")
+
+    # shared tail (src/helpers.cpp:195-214): intersect corrected rays in
+    # frame 1, then map to the reference frame
+    z = jnp.cross(m1p, m0p)
+    zn2 = z @ z + eps
+    X1 = ((z @ jnp.cross(t10, m0p)) / zn2) * m1p
+    X = g12_R @ X1 + g12_T
+
+    lam0 = (z @ jnp.cross(t10, m1p)) / zn2
+    lam1 = (z @ jnp.cross(t10, m0p)) / zn2
+    cheirality = (lam0 > 0) & (lam1 > 0)
+
+    def _angle(u, v):
+        c = (u @ v) / ((jnp.linalg.norm(u) + eps) * (jnp.linalg.norm(v) + eps))
+        return jnp.arccos(jnp.clip(c, -1.0, 1.0))
+
+    max_theta = jnp.maximum(_angle(m0, m0p), _angle(m1, m1p))
+    beta = _angle(m0p, m1p)
+    ok = cheirality & (max_theta <= max_theta_thresh) & (beta >= beta_thresh)
+    return X, ok
+
+
+def triangulate_two_view_checked(g12_R, g12_T, xc1, xc2, method,
+                                 max_theta_thresh, beta_thresh):
+    """Triangulate and report validity.
+
+    For the angular methods this applies the reference's cheirality /
+    angular-reprojection / parallax checks (src/helpers.cpp:203-214 etc.);
+    the DLT methods have no checks in the reference, so ok=True there and
+    the caller's depth-range gate is the only filter.
+    """
+    if method in ("l1_angular", "l2_angular", "linf_angular"):
+        return _triangulate_angular(g12_R, g12_T, xc1, xc2, method,
+                                    max_theta_thresh, beta_thresh)
+    X = triangulate_two_view(g12_R, g12_T, xc1, xc2, method)
+    return X, jnp.asarray(True)
 
 
 def change_owner(X, Rsbr_old, Tsbr_old, Rsbr_new, Tsbr_new, x, Psub):

@@ -26,13 +26,14 @@ from ..geom import so3
 from . import layout as L
 from .config import VIOConfig
 from .features import (change_owner, predict_pixel, subfilter_update_table,
-                       triangulate_two_view, unproject_logz)
+                       triangulate_two_view_checked, unproject_logz)
 from .propagate import imu_sample_update, propagate_state
 from .state import (FS_CREATED, FS_EMPTY, FS_GAUGE, FS_INITIALIZING,
                     FS_INSTATE, FS_READY, TS_CREATED, TS_DROPPED, TS_NONE,
                     TS_TRACKED, FeatureTable, GroupTable, VIOState)
-from .update import (absorb_error, build_stacked_jacobian, joseph_update,
-                     mh_distances, mh_gate, zero_state_entries)
+from .update import (absorb_error, build_stacked_jacobian,
+                     huber_robustify_R, joseph_update, mh_distances,
+                     mh_gate, zero_state_entries)
 
 
 # ---------------------------------------------------------------------------
@@ -313,10 +314,13 @@ def _process_tracks(cfg: VIOConfig, s: VIOState):
             T2 = s.X.Rsb @ s.X.Tbc + s.X.Tsb
             g12R = R1.T @ R2
             g12T = R1.T @ (T2 - T1)
-            Xc1 = triangulate_two_view(g12R, g12T, xc1, xc2,
-                                       cfg.triangulation.method)
+            Xc1, tri_valid = triangulate_two_view_checked(
+                g12R, g12T, xc1, xc2, cfg.triangulation.method,
+                cfg.triangulation.max_theta_thresh,
+                cfg.triangulation.beta_thresh)
             z = Xc1[2]
-            ok = (z > cfg.triangulation.zmin) & (z < cfg.triangulation.zmax)
+            ok = (tri_valid & (z > cfg.triangulation.zmin)
+                  & (z < cfg.triangulation.zmax))
             zs = jnp.where(ok, z, 1.0)
             xn = jnp.stack([Xc1[0] / zs, Xc1[1] / zs, jnp.log(zs)])
             return jnp.where(ok, xn, x), ok
@@ -977,7 +981,11 @@ def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
                        lambda s: build_stacked_jacobian(cfg, s),
                        lambda s: sj, s)
     inlier_now = sj2.valid & inlier_slots
-    diagR = jnp.full((2 * cfg.dims.n_features,), cfg.R, s.P.dtype)
+    if cfg.use_huber:
+        diagR = huber_robustify_R(sj2.inn, cfg.R, cfg.outlier_thresh,
+                                  s.P.dtype)
+    else:
+        diagR = jnp.full((2 * cfg.dims.n_features,), cfg.R, s.P.dtype)
     err, P = joseph_update(s.P, sj2.H, sj2.inn, diagR, inlier_now)
     do_upd = jnp.any(inlier_now)
     err = jnp.where(do_upd, err, 0.0)

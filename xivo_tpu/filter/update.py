@@ -147,6 +147,22 @@ def mh_gate(cfg: VIOConfig, dist, valid):
     return valid & (dist < thresh)
 
 
+def huber_robustify_R(inn, R, outlier_thresh, dtype):
+    """Huber-style measurement-variance inflation on large innovations.
+
+    Mirrors HuberOnInnovation (src/estimator.cpp:1290-1306): per 2-row
+    feature block, ratio = |inn|^2 / (2 R) / outlier_thresh; blocks with
+    ratio > 1 get R scaled by sqrt(ratio). (The reference defines this but
+    never calls it — here it is a config-gated option, ``use_huber``.)
+    Returns the per-row diag(R) vector, shape (2F,).
+    """
+    F = inn.shape[0] // 2
+    blocks = inn.reshape(F, 2)
+    ratio = jnp.sum(blocks * blocks, axis=1) / (2.0 * R) / outlier_thresh
+    scale = jnp.where(ratio > 1.0, jnp.sqrt(ratio), 1.0)
+    return jnp.repeat(R * scale, 2).astype(dtype)
+
+
 def joseph_update(P, H, inn, diagR, row_valid):
     """Joseph-form EKF update with masked rows.
 
