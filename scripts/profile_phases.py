@@ -151,6 +151,46 @@ def phase_post(s):
     return pl._switch_gauge_group(cfg, s)
 
 
+def phase_reject(s):
+    # the MH-reject bookkeeping block of update_step (not isolated before)
+    sj = build_stacked_jacobian(cfg, s)
+    rejected_slots = sj.valid & (mh_distances(s.P, sj.H, sj.inn, cfg.R)
+                                 > cfg.MH_thresh)
+    rej_rows_idx = jnp.where(rejected_slots, s.f2row, -1)
+    rej_rows = jnp.any(
+        (rej_rows_idx >= 0)[:, None]
+        & (rej_rows_idx[:, None] == jnp.arange(cfg.dims.nf_rows)[None, :]),
+        axis=0)
+    s = pl._remove_features_from_state(cfg, s, rej_rows)
+    return s._replace(features=pl._clear_feature_rows(s.features, rej_rows))
+
+
+def phase_absorb(s):
+    from xivo_tpu.filter.update import absorb_error
+    err = 1e-7 * jnp.arange(cfg.dims.full, dtype=s.P.dtype)
+    return absorb_error(cfg, s, err)
+
+
+def phase_cond_rebuild(s):
+    sj = build_stacked_jacobian(cfg, s)
+    sj2 = jax.lax.cond(s.vision_counter % 2 == 0,
+                       lambda s: build_stacked_jacobian(cfg, s),
+                       lambda s: sj, s)
+    return s._replace(P=s.P + 0.0 * (sj2.H[0, 0] + sj2.inn[0]))
+
+
+def phase_pred_bookkeeping(s):
+    sj2 = build_stacked_jacobian(cfg, s)
+    fr = s.features
+    tgt_rows = jnp.where(sj2.valid, s.f2row, cfg.dims.nf_rows)
+    oh_pred = (tgt_rows[:, None] == jnp.arange(cfg.dims.nf_rows)[None, :])
+    hit_pred = jnp.any(oh_pred, axis=0)
+    new_pred = jnp.einsum("sf,sk->fk", oh_pred.astype(fr.pred.dtype),
+                          sj2.pred.astype(fr.pred.dtype))
+    fr = fr._replace(pred=jnp.where(hit_pred[:, None], new_pred, fr.pred))
+    return s._replace(features=fr)
+
+
 def phase_update_step(s):
     s, _ = pl.update_step(cfg, s)
     return s
@@ -173,6 +213,10 @@ total += timeit("jacobian + MH gate", phase_mh)
 total += timeit("jacobian + joseph", phase_joseph)
 total += timeit("hygiene (discard+gauge)", phase_hygiene)
 total += timeit("post (group create, depth...)", phase_post)
+total += timeit("reject bookkeeping (jac incl)", phase_reject)
+total += timeit("absorb_error", phase_absorb)
+total += timeit("cond jac rebuild (jac incl)", phase_cond_rebuild)
+total += timeit("pred bookkeeping (jac incl)", phase_pred_bookkeeping)
 print(f"{'sum of isolated phases':34s} {total:8.3f} (double-counts jac)")
 timeit("update_step (whole)", phase_update_step)
 timeit("vio_frame (whole)", phase_full_frame, inp.gyro, inp.accel,

@@ -28,7 +28,7 @@ REPS = 100
 cfg = config_from_json(PCW_CFG, dtype="float32", sim_initialize_depths=True,
                        propagation_mode="fast")
 cfg_b = config_from_json(PCW_CFG, dtype="float32", sim_initialize_depths=True,
-                         propagation_mode="batched")
+                         propagation_mode="batched", total_substeps=int(os.environ.get("TOTAL_SUBSTEPS", "64")), max_substeps=4)
 fi, gt = build_pcw_stream(cfg, total_time=4.0, noise_px=0.25)
 s0 = batch_states(cfg, B)
 dtt = np.dtype(cfg.dtype)
@@ -79,13 +79,13 @@ def timeit(name, fn):
 
 
 def prop_fast(ss):
-    return pl._propagate_frame_fast(cfg, ss, inp.imu_gyro[0], inp.imu_accel[0],
+    return pl._propagate_frame_fast(cfg, ss, inp.gyro[0], inp.accel[0],
                                     inp.imu_dt[0], inp.frame_dt[0])
 
 
 def prop_batched(ss):
-    return propagate_frame_batched(cfg_b, ss, inp.imu_gyro[0],
-                                   inp.imu_accel[0], inp.imu_dt[0],
+    return propagate_frame_batched(cfg_b, ss, inp.gyro[0],
+                                   inp.accel[0], inp.imu_dt[0],
                                    inp.frame_dt[0])
 
 

@@ -69,6 +69,10 @@ class VIOConfig:
     # "batched": all substeps at once + associative scans (TPU-fastest)
     propagation_mode: str = "reference"
     total_substeps: int = 64         # static global substep budget/frame
+    # fast mode: >0 = static fully-unrolled substep grid per interval
+    # (n = clip(ceil(dt/h0), 1, fast_substeps) uniform steps, fusable
+    # straight-line graph); 0 = data-dependent while-loop
+    fast_substeps: int = 4
 
     # calibration enables (compile flags in the reference)
     online_temporal_calib: bool = False
@@ -86,6 +90,11 @@ class VIOConfig:
     # src/estimator.cpp:1290-1306, but never calls it; gated option here)
     use_huber: bool = False
     outlier_thresh: float = 1.1
+    # False (reference parity): FilterUpdate reuses the gating-time
+    # Jacobians even after ownership transfers / group discards
+    # (src/manager.cpp UpdateStep order). True: rebuild on
+    # structure-change frames.
+    recompute_stale_jacobians: bool = False
     ransac_thresh: float = 5.0
     ransac_prob: float = 0.95
     ransac_Chi2: float = 5.89

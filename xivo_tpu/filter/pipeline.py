@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from .. import cam as cam_mod
 from ..geom import so3
+from ..ops.dense import oh_take as _oh_take
 from . import layout as L
 from .config import VIOConfig
 from .features import (change_owner, predict_pixel, subfilter_update_table,
@@ -182,8 +183,9 @@ def tracker_pointcloud(cfg: VIOConfig, s: VIOState, meas_id, meas_xp,
         & meas_valid[None, :]
     has_match = jnp.any(eq, axis=1)
     match_j = jnp.argmax(eq, axis=1)  # (NF,) measurement index
-    mxp = meas_xp[jnp.clip(match_j, 0, M - 1)]
-    mdepth = meas_depth[jnp.clip(match_j, 0, M - 1)]
+    mj = jnp.clip(match_j, 0, M - 1)
+    mxp = _oh_take(meas_xp, mj, M)
+    mdepth = _oh_take(meas_depth, mj, M)
 
     disp_ok = jnp.linalg.norm(mxp - fr.xp, axis=1) \
         < cfg.max_pixel_displacement
@@ -295,13 +297,17 @@ def _process_tracks(cfg: VIOConfig, s: VIOState):
         & ((fr.status == FS_INITIALIZING) | (fr.status == FS_READY))
 
     grow = jnp.clip(fr.ref, 0, NG - 1)
-    Rsbr = gr.Rsb[grow]
-    Tsbr = gr.Tsb[grow]
+    Rsbr = _oh_take(gr.Rsb, grow, NG)
+    Tsbr = _oh_take(gr.Tsb, grow, NG)
 
     # 3a) two-view triangulation on the second observation
     if cfg.triangulate_pre_subfilter:
         NF = fr.fid.shape[0]
-        first_xp = fr.adj_xp[jnp.arange(NF), grow]   # obs in the ref group
+        # per-row column select from adj_xp as a one-hot contraction
+        oh_ref = (grow[:, None]
+                  == jnp.arange(NG, dtype=grow.dtype)[None, :])
+        first_xp = jnp.einsum("fg,fgk->fk", oh_ref.astype(fr.adj_xp.dtype),
+                              fr.adj_xp)
         n_tri = sub & (fr.init_counter == 0)
 
         def tri_one(Rr, Tr, xp1, xp2, x):
@@ -409,7 +415,8 @@ def _refine_candidate_depths(cfg: VIOConfig, s: VIOState) -> VIOState:
         return refine_depth(kind, s.cam, s.X, Rsbr, Tsbr, gr.Rsb, gr.Tsb,
                             om, oxp, x0, P0, cfg.refinement)
 
-    xn, Pn, ok = jax.vmap(one)(gr.Rsb[grow], gr.Tsb[grow], obs_mask,
+    xn, Pn, ok = jax.vmap(one)(_oh_take(gr.Rsb, grow, NG),
+                               _oh_take(gr.Tsb, grow, NG), obs_mask,
                                fr.adj_xp, fr.x, fr.Psub)
 
     good = do & ok
@@ -508,7 +515,8 @@ def _admit_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
         P = jnp.concatenate([P[:, :gb], gcols, P[:, ge:]], axis=1)
         s = s._replace(groups=gr, g2row=g2row, P=P)
         # admit candidate features of all taken groups in one pass
-        want = cand & take[jnp.clip(fr.ref, 0, NG - 1)] & (fr.ref >= 0)
+        want = cand & _oh_take(take, jnp.clip(fr.ref, 0, NG - 1),
+                               NG) & (fr.ref >= 0)
         slot_of_row, got = _rank_assign(
             s.f2row < 0, want, _admission_score(fr))
         return _commit_feature_admissions(cfg, s, slot_of_row, got)
@@ -547,7 +555,7 @@ def _admit_features_within_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
     fr, gr = s.features, s.groups
     NG = gr.gid.shape[0]
     cand = _candidate_mask(cfg, s)
-    ref_instate = gr.sind[jnp.clip(fr.ref, 0, NG - 1)] >= 0
+    ref_instate = _oh_take(gr.sind >= 0, jnp.clip(fr.ref, 0, NG - 1), NG)
     want = cand & ref_instate & (fr.ref >= 0)
     slot_of_row, got = _rank_assign(s.f2row < 0, want, _admission_score(fr))
     return _commit_feature_admissions(cfg, s, slot_of_row, got)
@@ -582,19 +590,20 @@ def _discard_affected_groups_impl(cfg: VIOConfig, s: VIOState, affected):
         discard = affected & gr.active & (n_instate_of == 0)
 
     # ownership transfer for features whose ref is discarded
-    needs = fr.active & discard[jnp.clip(fr.ref, 0, NG - 1)] & (fr.ref >= 0)
+    grow_old = jnp.clip(fr.ref, 0, NG - 1)
+    needs = fr.active & _oh_take(discard, grow_old, NG) & (fr.ref >= 0)
     ginstate_ok = gr.instate & ~discard
     # candidate new owners: groups the feature observed, instate, surviving
     owner_ok = fr.adj & ginstate_ok[None, :]
     has_owner = jnp.any(owner_ok, axis=1)
     new_ref = jnp.argmax(owner_ok, axis=1).astype(jnp.int32)
 
-    grow_old = jnp.clip(fr.ref, 0, NG - 1)
     grow_new = jnp.clip(new_ref, 0, NG - 1)
     xn, Pn, okz = jax.vmap(change_owner,
                            in_axes=(None, 0, 0, 0, 0, 0, 0))(
-        s.X, gr.Rsb[grow_old], gr.Tsb[grow_old],
-        gr.Rsb[grow_new], gr.Tsb[grow_new], fr.x, fr.Psub)
+        s.X, _oh_take(gr.Rsb, grow_old, NG), _oh_take(gr.Tsb, grow_old, NG),
+        _oh_take(gr.Rsb, grow_new, NG), _oh_take(gr.Tsb, grow_new, NG),
+        fr.x, fr.Psub)
 
     transfer = needs & has_owner & okz
     failed = needs & ~transfer
@@ -663,7 +672,7 @@ def _one_pt_ransac(cfg: VIOConfig, s: VIOState, inlier_slots):
             cfg, (s.f2row >= 0) & ~li, s.P.dtype)
         gslot_zero = jnp.zeros((d.n_groups,), bool)
         grow_of_slot = jnp.clip(s.g2row, 0, NGR - 1)
-        g_noli = (s.g2row >= 0) & ~g_with_li[grow_of_slot]
+        g_noli = (s.g2row >= 0) & ~_oh_take(g_with_li, grow_of_slot, NGR)
         keepg = _group_keep_vector(cfg, g_noli, s.P.dtype)
         P_li = zero_state_entries(s.P, (keepf * keepg) > 0)
 
@@ -714,7 +723,8 @@ def _refresh_gauge_features(cfg: VIOConfig, s: VIOState) -> VIOState:
         same = fr.ref[:, None] == fr.ref[None, :]
         rank = jnp.sum(lower & same & cand[None, :] & cand[:, None],
                        axis=1)
-        promote = cand & (rank < deficit[jnp.clip(fr.ref, 0, NG - 1)])
+        promote = cand & (rank < _oh_take(deficit,
+                                          jnp.clip(fr.ref, 0, NG - 1), NG))
 
         fr = fr._replace(status=jnp.where(promote, FS_GAUGE, fr.status))
         # freeze XY covariance of promoted slots (one-hot slot mask)
@@ -973,13 +983,23 @@ def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
         s = _refresh_gauge_features(cfg, s)
 
     # the EKF update with surviving inliers. Ownership transfers (rare)
-    # reparametrize features, invalidating the gating-time Jacobians —
-    # the reference reuses them anyway (SURVEY §7.3 stale-jacobian
-    # quirk); we recompute, but only on frames where the structure
-    # actually changed (a runtime cond keeps the common path cheap).
-    sj2 = jax.lax.cond(structure_changed,
-                       lambda s: build_stacked_jacobian(cfg, s),
-                       lambda s: sj, s)
+    # reparametrize features, invalidating the gating-time Jacobians.
+    # The reference reuses the stale Jacobians anyway (UpdateStep order:
+    # ComputeInstateJacobians -> OutlierRejection -> DiscardAffectedGroups
+    # -> FilterUpdate, src/manager.cpp:18-167; SURVEY §7.3) — that is the
+    # default here too. recompute_stale_jacobians=True rebuilds them on
+    # structure-change frames (an accuracy-neutral-measured improvement;
+    # under batch vmap the cond's rare branch runs EVERY frame as a
+    # select, costing a full jacobian build, so parity is also faster).
+    if cfg.recompute_stale_jacobians:
+        sj2 = jax.lax.cond(structure_changed,
+                           lambda s: build_stacked_jacobian(cfg, s),
+                           lambda s: sj, s)
+    else:
+        # stale reuse, but features REMOVED from the state since gating
+        # must not contribute rows (their P slots were zeroed; the valid
+        # mask keeps the Joseph update consistent)
+        sj2 = sj._replace(valid=sj.valid & (s.f2row >= 0))
     inlier_now = sj2.valid & inlier_slots
     if cfg.use_huber:
         diagR = huber_robustify_R(sj2.inn, cfg.R, cfg.outlier_thresh,
@@ -1029,10 +1049,13 @@ def _propagate_frame_fast(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel,
                           imu_dt, dt_eff) -> VIOState:
     """Fast-mode frame propagation: compose per-sample transitions and
     touch the big covariance exactly once (see propagate_interval_fast)."""
-    from .propagate import propagate_interval_fast
+    from .propagate import (propagate_interval_fast,
+                            propagate_interval_fast_static)
     m = L.MOTION
     dtype = s.P.dtype
     eye = jnp.eye(m, dtype=dtype)
+    prop_interval = (propagate_interval_fast_static
+                     if cfg.fast_substeps > 0 else propagate_interval_fast)
 
     def body(carry, inp):
         X, Phi, Q, lg, la, sg, sa, nprop = carry
@@ -1042,8 +1065,7 @@ def _propagate_frame_fast(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel,
             dts = jnp.maximum(dti, 1e-12)
             sgn = (gy - lg) / dts
             san = (ac - la) / dts
-            Xn, Phi_i, Qi = propagate_interval_fast(cfg, X, lg, la, sgn,
-                                                    san, dti)
+            Xn, Phi_i, Qi = prop_interval(cfg, X, lg, la, sgn, san, dti)
             return (Xn, Phi_i @ Phi, Phi_i @ Q @ Phi_i.T + Qi, gy, ac,
                     sgn.astype(dtype), san.astype(dtype), nprop + 1)
 
@@ -1060,8 +1082,7 @@ def _propagate_frame_fast(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel,
 
     # visual-frame extrapolation segment
     def vis(_):
-        Xn, Phi_i, Qi = propagate_interval_fast(cfg, X, lg, la, sg, sa,
-                                                dt_eff)
+        Xn, Phi_i, Qi = prop_interval(cfg, X, lg, la, sg, sa, dt_eff)
         return (Xn, Phi_i @ Phi, Phi_i @ Q @ Phi_i.T + Qi,
                 lg + sg * dt_eff, la + sa * dt_eff, nprop + 1)
 
@@ -1080,6 +1101,11 @@ def _propagate_frame_fast(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel,
     P = s.P.at[:m, :m].set(0.5 * (Pmm + Pmm.T))
     P = P.at[:m, m:].set(Pms)
     P = P.at[m:, :m].set(Pms.T)
+    if cfg.fast_substeps > 0:
+        # substeps skip the polar projection; restore orthonormality once
+        # per frame (stricter than the reference's every-50-updates
+        # normalize, src/core.h:154-161)
+        X = X._replace(Rsb=so3.project(X.Rsb))
     return s._replace(X=X, P=P, last_gyro=lg, last_accel=la,
                       slope_gyro=sg, slope_accel=sa)
 

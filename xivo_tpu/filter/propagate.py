@@ -29,14 +29,22 @@ from .config import VIOConfig
 from .state import MotionState, VIOState
 
 
-def compose_motion(X: MotionState, V, gyro, accel, dt, g) -> MotionState:
-    """Integrate the nominal state by dt (ref src/estimator.cpp:597-614)."""
+def compose_motion(X: MotionState, V, gyro, accel, dt, g,
+                   project: bool = True) -> MotionState:
+    """Integrate the nominal state by dt (ref src/estimator.cpp:597-614).
+
+    ``project=False`` skips the polar re-orthonormalization — used inside
+    tight substep loops where the caller projects once per frame instead
+    (the reference normalizes only every 50 updates, src/core.h:154-161,
+    so per-substep projection is stricter than parity requires).
+    """
     gyro_calib = X.Cg @ gyro - X.bg
     accel_calib = X.Ca @ accel - X.ba
     Tsb = X.Tsb + V * dt
     Vsb = X.Vsb + (X.Rsb @ accel_calib + X.Rsg @ g) * dt
     Rsb = X.Rsb @ so3.exp(gyro_calib * dt)
-    Rsb = so3.project(Rsb)
+    if project:
+        Rsb = so3.project(Rsb)
     return X._replace(Rsb=Rsb, Tsb=Tsb, Vsb=Vsb)
 
 
@@ -311,6 +319,53 @@ def propagate_interval_fast(cfg: VIOConfig, X: MotionState, gyro0, accel0,
         X, eye, jnp.zeros((m, m), dtype), jnp.zeros((), dtype),
         gyro0, accel0))
     return out.X, out.Phi, out.Q
+
+
+def propagate_interval_fast_static(cfg: VIOConfig, X: MotionState, gyro0,
+                                   accel0, sg, sa, dt):
+    """Static-grid fast propagation: same math as propagate_interval_fast
+    but over a FIXED, fully-unrolled substep count.
+
+    The while-loop version forces a sequential kernel chain with
+    data-dependent length; this one uses n = clip(ceil(dt/h0), 1, S)
+    uniform substeps h = dt/n on a static grid of S slots — inactive
+    slots carry h = 0 and are exact no-ops (Phi_i = I, Qi = 0), so XLA
+    sees one straight-line fusable graph. Rotation re-orthonormalization
+    is deferred to the caller (once per frame).
+
+    Returns (X', Phi (m,m), Qacc (m,m)).
+    """
+    dtype = X.Tsb.dtype
+    m = L.MOTION
+    g = jnp.asarray(cfg.gravity, dtype)
+    Qimu = jnp.asarray(
+        (list(cfg.Qimu_gyro) + list(cfg.Qimu_accel)
+         + list(cfg.Qimu_gyro_bias) + list(cfg.Qimu_accel_bias)), dtype)
+    Qimu = jnp.diag(Qimu ** 2)
+    h0 = cfg.stepsize
+    S = cfg.fast_substeps
+    eye = jnp.eye(m, dtype=dtype)
+
+    n = jnp.clip(jnp.ceil(dt / h0).astype(jnp.int32), 1, S)
+    h_act = dt / n.astype(dtype)
+
+    Xc, Phi, Q = X, eye, jnp.zeros((m, m), dtype)
+    gy, ac = gyro0, accel0
+    for k in range(S):
+        h = jnp.where(k < n, h_act, jnp.zeros((), dtype))
+        gy_m = gy + sg * (0.5 * h)
+        ac_m = ac + sa * (0.5 * h)
+        Xm = compose_motion(Xc, Xc.Vsb, gy_m, ac_m, 0.5 * h, g,
+                            project=False)
+        F, G = motion_jacobians(Xm, gy_m, ac_m, g, dtype)
+        Xc = compose_motion(Xc, Xm.Vsb, gy_m, ac_m, h, g, project=False)
+        Fh = F * h
+        Phi_i = eye + Fh + 0.5 * (Fh @ Fh)
+        Phi = Phi_i @ Phi
+        Q = Phi_i @ Q @ Phi_i.T + (G @ Qimu @ G.T) * h
+        gy = gy + sg * h
+        ac = ac + sa * h
+    return Xc, Phi, Q
 
 
 def propagate_state(cfg: VIOConfig, s: VIOState, dt, is_visual: bool):

@@ -17,11 +17,11 @@ import jax.numpy as jnp
 
 from .. import cam as cam_mod
 from ..geom import so3
+from ..ops.dense import oh_take
 from . import layout as L
 from .config import VIOConfig
 from .features import compute_jacobian
-from .retraction import (apply_camera_error, apply_group_error,
-                         apply_motion_error)
+from .retraction import apply_camera_error
 from .state import FS_GAUGE, FS_INSTATE, VIOState
 
 
@@ -48,15 +48,22 @@ def build_stacked_jacobian(cfg: VIOConfig, s: VIOState) -> StackedJac:
     fr = s.features
     gr = s.groups
 
-    def one_slot(slot):
-        row = s.f2row[slot]
-        ok = row >= 0
-        rowc = jnp.maximum(row, 0)
-        x = fr.x[rowc]
-        xp = fr.xp[rowc]
-        gref = jnp.maximum(fr.ref[rowc], 0)
-        Rsbr = gr.Rsb[gref]
-        Tsbr = gr.Tsb[gref]
+    # pre-gather every slot's inputs via one-hot matmuls (traced-index
+    # gathers inside the vmap serialize on TPU; see ops.dense.oh_take)
+    F = d.n_features
+    NFR = fr.fid.shape[0]
+    NGR = gr.gid.shape[0]
+    row = s.f2row                                   # (F,)
+    valid = row >= 0
+    rowc = jnp.maximum(row, 0)
+    x_s = oh_take(fr.x, rowc, NFR)
+    xp_s = oh_take(fr.xp, rowc, NFR)
+    gref = jnp.maximum(oh_take(fr.ref, rowc, NFR), 0)
+    Rsbr_s = oh_take(gr.Rsb, gref, NGR)
+    Tsbr_s = oh_take(gr.Tsb, gref, NGR)
+    gslot = jnp.maximum(oh_take(gr.sind, gref, NGR), 0)
+
+    def one_slot(ok, x, xp, Rsbr, Tsbr, Rf, Tf, xfe):
         jr = compute_jacobian(kind, s.cam, s.X, Rsbr, Tsbr, x, xp,
                               s.last_gyro, cfg.online_camera_calib)
         J_group, J_feat = jr.J_group, jr.J_feat
@@ -65,18 +72,21 @@ def build_stacked_jacobian(cfg: VIOConfig, s: VIOState) -> StackedJac:
             # pose, feature) are linearized at the states' first
             # estimates so unobservable directions gain no spurious
             # information; the residual keeps the current estimates
-            jf = compute_jacobian(kind, s.cam, s.X, gr.Rsb_fej[gref],
-                                  gr.Tsb_fej[gref], fr.x_fej[rowc], xp,
+            jf = compute_jacobian(kind, s.cam, s.X, Rf, Tf, xfe, xp,
                                   s.last_gyro, cfg.online_camera_calib)
             J_group, J_feat = jf.J_group, jf.J_feat
-        gslot = jnp.maximum(gr.sind[gref], 0)
         okf = ok.astype(dtype)
         return (jr.J_motion * okf, jr.J_cam * okf, J_group * okf,
-                J_feat * okf, gslot, jr.inn * okf, ok, jr.xp_pred)
+                J_feat * okf, jr.inn * okf, jr.xp_pred)
 
-    F = d.n_features
-    Jm, Jc, Jg, Jf, gslot, inn, valid, pred = jax.vmap(one_slot)(
-        jnp.arange(F))
+    if cfg.use_fej:
+        Rf_s = oh_take(gr.Rsb_fej, gref, NGR)
+        Tf_s = oh_take(gr.Tsb_fej, gref, NGR)
+        xfe_s = oh_take(fr.x_fej, rowc, NFR)
+    else:
+        Rf_s, Tf_s, xfe_s = Rsbr_s, Tsbr_s, x_s
+    Jm, Jc, Jg, Jf, inn, pred = jax.vmap(one_slot)(
+        valid, x_s, xp_s, Rsbr_s, Tsbr_s, Rf_s, Tf_s, xfe_s)
 
     # mask the temporal blocks if those calibrations are off (their P
     # rows are zero so they'd be inert anyway; masking keeps S cleaner).
@@ -199,7 +209,6 @@ def absorb_error(cfg: VIOConfig, s: VIOState, err) -> VIOState:
     Port of Estimator::AbsorbError (src/estimator.cpp:875-921).
     """
     d = cfg.dims
-    X = apply_motion_error(s.X, err[:L.MOTION])
     cam = apply_camera_error(s.cam, err[L.CAM:L.CAM + L.NCAM]) \
         if cfg.online_camera_calib else s.cam
 
@@ -214,10 +223,38 @@ def absorb_error(cfg: VIOConfig, s: VIOState, err) -> VIOState:
              == jnp.arange(d.n_groups)[None, :])
             & instate_g[:, None]).astype(err.dtype)       # (NG, G)
     gerr_row = oh_g @ gerr                                 # (NG, 6)
-    Rn, Tn = jax.vmap(apply_group_error)(gr.Rsb, gr.Tsb, gerr_row)
+
+    # ALL rotation retractions (motion Wsb/Wbc/Wsg + every group row) as
+    # ONE stacked exp/compose/project chain — the per-rotation chains
+    # each cost a handful of tiny non-fusable dots, which dominate this
+    # function's runtime at small state sizes (same math as
+    # apply_motion_error / apply_group_error; src/core.h:135-165).
+    wsg = jnp.concatenate([err[L.WSG:L.WSG + 2],
+                           jnp.zeros((1,), err.dtype)])
+    W_all = jnp.concatenate([
+        err[L.WSB:L.WSB + 3][None], err[L.WBC:L.WBC + 3][None],
+        wsg[None], gerr_row[:, :3]], axis=0)               # (3+NG, 3)
+    R_all = jnp.concatenate([
+        s.X.Rsb[None], s.X.Rbc[None], s.X.Rsg[None], gr.Rsb], axis=0)
+    Rn_all = so3.project(R_all @ so3.exp(W_all))           # (3+NG, 3, 3)
+
+    X = s.X._replace(
+        Rsb=Rn_all[0],
+        Tsb=s.X.Tsb + err[L.TSB:L.TSB + 3],
+        Vsb=s.X.Vsb + err[L.VSB:L.VSB + 3],
+        bg=s.X.bg + err[L.BG:L.BG + 3],
+        ba=s.X.ba + err[L.BA:L.BA + 3],
+        Rbc=Rn_all[1],
+        Tbc=s.X.Tbc + err[L.TBC:L.TBC + 3],
+        Rsg=Rn_all[2],
+        td=s.X.td + err[L.TD],
+        Cg=s.X.Cg + err[L.CG:L.CG + 9].reshape(3, 3),
+        Ca=s.X.Ca + so3.upper_tri_from6(err[L.CA:L.CA + 6]))
+
     gr = gr._replace(
-        Rsb=jnp.where(instate_g[:, None, None], Rn, gr.Rsb),
-        Tsb=jnp.where(instate_g[:, None], Tn, gr.Tsb))
+        Rsb=jnp.where(instate_g[:, None, None], Rn_all[3:], gr.Rsb),
+        Tsb=jnp.where(instate_g[:, None],
+                      gr.Tsb + gerr_row[:, 3:], gr.Tsb))
 
     ferr = err[d.feature_begin:].reshape(d.n_features, 3)
     fr = s.features
