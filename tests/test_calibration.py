@@ -142,3 +142,18 @@ def test_fej_option_runs_and_tracks():
     err = np.linalg.norm(np.asarray(outs.Tsb) - gt["Tsb"], axis=1)
     assert np.sqrt(np.mean(err ** 2)) < 0.12
     assert np.isfinite(np.asarray(s.P)).all()
+
+
+def test_oc_option_runs_and_tracks():
+    """OC-EKF (use_oc): observability-constrained propagation. Measured
+    on the 25 s tube run (scripts/eval_consistency.py): marginal alone
+    (Tbc NEES 11050 -> 10748), small additional gain on top of FEJ
+    (6985 -> 6879) — the measurement-side linearization drift dominates,
+    which FEJ addresses. Defaults off; this pins that it runs with
+    normal accuracy (fast propagation mode, where the per-frame Phi
+    exists to be corrected)."""
+    cfg = base_cfg(use_oc=True, use_fej=True, propagation_mode="fast")
+    s, outs, gt = run_with(cfg, total_time=6.0)
+    err = np.linalg.norm(np.asarray(outs.Tsb) - gt["Tsb"], axis=1)
+    assert np.sqrt(np.mean(err ** 2)) < 0.12
+    assert np.isfinite(np.asarray(s.P)).all()

@@ -64,6 +64,12 @@ class VIOConfig:
     integration_method: str = "PrinceDormand"
     stepsize: float = 0.002
     max_substeps: int = 10           # static bound on substeps per IMU sample
+    # adaptive Prince-Dormand stepsize (src/princedormand.cpp:28-59; with
+    # the REAL embedded error, which the reference leaves commented out)
+    pd_control_stepsize: bool = False
+    pd_tolerance: float = 1e-3
+    pd_min_scale: float = 0.125
+    pd_max_scale: float = 4.0
     # "reference": per-substep joint X/F/P integration (PD45/RK4 parity)
     # "fast": discrete transition composition, one P application per frame
     # "batched": all substeps at once + associative scans (TPU-fastest)
@@ -90,11 +96,17 @@ class VIOConfig:
     # src/estimator.cpp:1290-1306, but never calls it; gated option here)
     use_huber: bool = False
     outlier_thresh: float = 1.1
-    # False (reference parity): FilterUpdate reuses the gating-time
-    # Jacobians even after ownership transfers / group discards
-    # (src/manager.cpp UpdateStep order). True: rebuild on
-    # structure-change frames.
-    recompute_stale_jacobians: bool = False
+    # True (default): rebuild Jacobians on structure-change frames before
+    # FilterUpdate. False = reference parity (UpdateStep reuses the
+    # gating-time Jacobians after transfers/discards, src/manager.cpp) —
+    # measured to degrade online camera-intrinsics convergence here
+    # (cx 319.6 vs 321.2 toward a 322 truth on the calib_rich sim), so
+    # the faithful-but-worse behavior is opt-in.
+    recompute_stale_jacobians: bool = True
+    # OC-EKF: observability-constrained propagation (use with
+    # propagation_mode="fast"; measurement-side counterpart is use_fej).
+    # Improvement over the reference (no consistency machinery there).
+    use_oc: bool = False
     ransac_thresh: float = 5.0
     ransac_prob: float = 0.95
     ransac_Chi2: float = 5.89
@@ -311,6 +323,13 @@ def config_from_json(cfg: dict, dims: Optional[Dims] = None,
     kw = dict(
         dims=dims or Dims(),
         integration_method=cfg.get("integration_method", "PrinceDormand"),
+        pd_control_stepsize=cfg.get("PrinceDormand", {}).get(
+            "control_stepsize", False),
+        pd_tolerance=cfg.get("PrinceDormand", {}).get("tolerance", 1e-3),
+        pd_min_scale=cfg.get("PrinceDormand", {}).get(
+            "min_scale_factor", 0.125),
+        pd_max_scale=cfg.get("PrinceDormand", {}).get(
+            "max_scale_factor", 4.0),
         stepsize=cfg.get("PrinceDormand", {}).get(
             "stepsize", cfg.get("RK4", {}).get("stepsize", 0.002)),
         use_MH_gating=cfg.get("use_MH_gating", True),

@@ -1090,6 +1090,11 @@ def _propagate_frame_fast(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel,
         dt_eff > 0, vis,
         lambda _: (X, Phi, Q, lg, la, nprop), None)
 
+    if cfg.use_oc:
+        from .propagate import oc_correct_phi
+        Phi = oc_correct_phi(cfg, Phi, X, s.oc_R, s.oc_V, s.oc_T, s.X.Rsg)
+        s = s._replace(oc_R=X.Rsb, oc_V=X.Vsb, oc_T=X.Tsb)
+
     # one covariance application per frame
     qm = jnp.zeros((m,), dtype)
     qm = qm.at[L.WSB:L.WSB + 3].set(cfg.Qmodel_Wsb ** 2)

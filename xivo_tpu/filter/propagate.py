@@ -152,7 +152,7 @@ def _rk4_substep(X, Pmm, gyro0, accel0, sg, sa, h, g, Qimu, dtype):
 
     Xn = compose_motion(X, Ktot, gy, ac, h, g)
     Ftot = jnp.eye(L.MOTION, dtype=dtype) + FK * h
-    return Xn, Pmm + PK * h, Ftot
+    return Xn, Pmm + PK * h, Ftot, jnp.zeros((), dtype)
 
 
 _PD_COEFS = dict(
@@ -221,7 +221,15 @@ def _pd_substep(X, Pmm, gyro0, accel0, sg, sa, h, g, Qimu, dtype):
     gy, ac = gyro0 + sg * h, accel0 + sa * h
     Xn = compose_motion(X, K, gy, ac, h, g)
     Ftot = jnp.eye(L.MOTION, dtype=dtype) + FK * h
-    return Xn, Pmm + PK * h, Ftot
+    # embedded 4th/5th-order difference on the velocity stages — the
+    # error estimate the reference computes but leaves commented out
+    # (src/princedormand.cpp:216-220, always returns 0, which neuters its
+    # control_stepsize mode into "grow h by max_scale every step"); we
+    # return the real thing so adaptive stepping actually adapts.
+    diffK = 0.0002 * (44.0 * K1 - 330.0 * K3 + 891.0 * K4 - 660.0 * K5
+                      - 45.0 * K6 + 100.0 * K7)
+    err = jnp.max(jnp.abs(diffK))
+    return Xn, Pmm + PK * h, Ftot, err
 
 
 def propagate_interval(cfg: VIOConfig, X: MotionState, Pmm, Pms,
@@ -230,7 +238,11 @@ def propagate_interval(cfg: VIOConfig, X: MotionState, Pmm, Pms,
 
     Substep policy matches src/princedormand.cpp:60-81: fixed h0 with the
     half-step trick, IMU inputs linearly interpolated with slopes (sg, sa).
-    Returns (X', Pmm', Pms').
+    With ``pd_control_stepsize`` (PrinceDormand only) the substep size is
+    error-controlled: scale = 0.8 (tol·h/err)^(1/4) clipped to
+    [pd_min_scale, pd_max_scale], accept-always, matching the loop at
+    src/princedormand.cpp:28-59 but with the REAL embedded error (see
+    _pd_substep). Returns (X', Pmm', Pms').
     """
     dtype = Pmm.dtype
     g = jnp.asarray(cfg.gravity, dtype)
@@ -242,22 +254,37 @@ def propagate_interval(cfg: VIOConfig, X: MotionState, Pmm, Pms,
     substep = _pd_substep if cfg.integration_method == "PrinceDormand" \
         else _rk4_substep
 
+    adaptive = (cfg.pd_control_stepsize
+                and cfg.integration_method == "PrinceDormand")
+
     def cond(carry):
-        return carry.total < dt
+        return carry[0].total < dt
 
     def body(carry):
-        rem = dt - carry.total
-        h = jnp.minimum(h0, rem)
-        # half-step trick: if one-and-a-half steps would overshoot, halve
-        h = jnp.where((rem > h0) & (rem < 1.5 * h0), 0.5 * h0, h)
-        Xn, Pmm_n, Ftot = substep(carry.X, carry.Pmm, carry.gyro,
-                                  carry.accel, sg, sa, h, g, Qimu, dtype)
-        Pms_n = Ftot @ carry.Pms
-        return _Carry(Xn, Pmm_n, Pms_n, carry.total + h,
-                      carry.gyro + sg * h, carry.accel + sa * h)
+        c, h_next = carry
+        rem = dt - c.total
+        if adaptive:
+            h = jnp.minimum(jnp.maximum(h_next, 1e-6), rem)
+        else:
+            h = jnp.minimum(h0, rem)
+            # half-step trick: halve if 1.5 steps would overshoot
+            h = jnp.where((rem > h0) & (rem < 1.5 * h0), 0.5 * h0, h)
+        Xn, Pmm_n, Ftot, err = substep(c.X, c.Pmm, c.gyro,
+                                       c.accel, sg, sa, h, g, Qimu, dtype)
+        Pms_n = Ftot @ c.Pms
+        if adaptive:
+            scale = jnp.where(
+                err <= 0.0, cfg.pd_max_scale,
+                jnp.clip(0.8 * (cfg.pd_tolerance * h
+                                / jnp.maximum(err, 1e-30)) ** 0.25,
+                         cfg.pd_min_scale, cfg.pd_max_scale))
+            h_next = h * scale
+        return (_Carry(Xn, Pmm_n, Pms_n, c.total + h,
+                       c.gyro + sg * h, c.accel + sa * h), h_next)
 
-    init = _Carry(X, Pmm, Pms, jnp.zeros((), dtype), gyro0, accel0)
-    out = jax.lax.while_loop(cond, body, init)
+    init = (_Carry(X, Pmm, Pms, jnp.zeros((), dtype), gyro0, accel0),
+            jnp.asarray(h0, dtype))
+    out, _ = jax.lax.while_loop(cond, body, init)
     return out.X, out.Pmm, out.Pms
 
 
@@ -366,6 +393,48 @@ def propagate_interval_fast_static(cfg: VIOConfig, X: MotionState, gyro0,
         gy = gy + sg * h
         ac = ac + sa * h
     return Xc, Phi, Q
+
+
+def oc_correct_phi(cfg: VIOConfig, Phi, X_new: MotionState, oc_R, oc_V,
+                   oc_T, Rsg):
+    """Observability-constrained transition correction (OC-EKF).
+
+    Enforces that the yaw-about-gravity unobservable direction propagates
+    EXACTLY along the prior-estimate chain: with n_k = (R̆_kᵀ ĝ,
+    ĝ×T̆_k, ĝ×V̆_k, 0, ...) the body-frame right-multiplicative error
+    representation of a global rotation about gravity, require
+    Phi* n_k = n_{k+1} and modify only the W-columns of the W/T/V rows,
+    each by the minimum-Frobenius-norm row update
+    A* = A − (A u − w) uᵀ/(uᵀu)  (Hesch et al., "Consistency analysis
+    and improvement of vision-aided inertial navigation", TRO'13 —
+    an improvement over the reference, which has no consistency
+    machinery; the measurement-side counterpart is use_fej).
+
+    (R̆, V̆, T̆) are the PRIOR estimates: oc_* from the previous frame's
+    end-of-propagation, X_new from this frame's (pre-update). The
+    translation nullspace is exact in Phi already (Phi_TT = I, groups do
+    not propagate), so only the yaw direction needs correction.
+    """
+    dtype = Phi.dtype
+    g0 = jnp.asarray(cfg.gravity, dtype)
+    gs = Rsg @ g0
+    ghat = gs / (jnp.linalg.norm(gs) + 1e-20)
+    u = oc_R.T @ ghat
+    uu = u @ u + 1e-20
+    hg = so3.hat(ghat)
+    W, T, V = L.WSB, L.TSB, L.VSB
+
+    def fix(A, w):
+        return A - jnp.outer(A @ u - w, u) / uu
+
+    Phi = Phi.at[W:W + 3, W:W + 3].set(
+        fix(Phi[W:W + 3, W:W + 3], X_new.Rsb.T @ ghat))
+    wV = hg @ X_new.Vsb - Phi[V:V + 3, V:V + 3] @ (hg @ oc_V)
+    Phi = Phi.at[V:V + 3, W:W + 3].set(fix(Phi[V:V + 3, W:W + 3], wV))
+    wT = (hg @ X_new.Tsb - Phi[T:T + 3, T:T + 3] @ (hg @ oc_T)
+          - Phi[T:T + 3, V:V + 3] @ (hg @ oc_V))
+    Phi = Phi.at[T:T + 3, W:W + 3].set(fix(Phi[T:T + 3, W:W + 3], wT))
+    return Phi
 
 
 def propagate_state(cfg: VIOConfig, s: VIOState, dt, is_visual: bool):

@@ -127,6 +127,12 @@ class VIOState(NamedTuple):
     next_gid: jnp.ndarray        # () int32 — monotonically increasing group id
     next_fid: jnp.ndarray        # () int32 — id source for tracker-made features
     key: jnp.ndarray             # PRNG key (RANSAC / gauge selection)
+    # OC-EKF prior chain (use_oc): end-of-propagation PRIOR estimates of
+    # the previous frame, anchoring the unobservable-subspace constraint
+    # on the next frame's transition (Hesch et al., TRO'13)
+    oc_R: jnp.ndarray            # (3,3)
+    oc_V: jnp.ndarray            # (3,)
+    oc_T: jnp.ndarray            # (3,)
 
 
 def init_state(cfg: VIOConfig, key=None) -> VIOState:
@@ -231,6 +237,8 @@ def init_state(cfg: VIOConfig, key=None) -> VIOState:
         next_gid=jnp.asarray(0, jnp.int32),
         next_fid=jnp.asarray(0, jnp.int32),
         key=key,
+        # distinct buffers (shared ones break donation in the runners)
+        oc_R=X.Rsb.copy(), oc_V=X.Vsb.copy(), oc_T=X.Tsb.copy(),
     )
 
 
