@@ -81,3 +81,47 @@ def test_native_matches_python_loader(lib, tmp_path):
     p = str(tmp_path / "x.pgm")
     write_pgm(p, img)
     assert np.array_equal(native.load_pgm(p), _load_pnm(p))
+
+
+def test_load_png_gray8(lib, tmp_path):
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (37, 53), np.uint8)
+    p = str(tmp_path / "g8.png")
+    Image.fromarray(img, mode="L").save(p)
+    out = native.load_image(p)
+    assert out.shape == (37, 53)
+    assert np.array_equal(out, img.astype(np.float32))
+
+
+def test_load_png_gray16(lib, tmp_path):
+    from PIL import Image
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 65536, (16, 24), np.uint16)
+    p = str(tmp_path / "g16.png")
+    Image.fromarray(img, mode="I;16").save(p)
+    out = native.load_image(p)
+    # PIL writes 16-bit PNG big-endian; exact round-trip expected
+    assert np.array_equal(out, img.astype(np.float32))
+
+
+def test_load_png_rgb_luma(lib, tmp_path):
+    from PIL import Image
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (20, 30, 3), np.uint8)
+    p = str(tmp_path / "rgb.png")
+    Image.fromarray(img, mode="RGB").save(p)
+    out = native.load_image(p)
+    luma = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+            + 0.114 * img[..., 2]).astype(np.float32)
+    assert np.allclose(out, luma, atol=0.51)
+
+
+def test_loader_prefers_native_png(lib, tmp_path):
+    from PIL import Image
+    from xivo_tpu.io.loader import load_image
+    img = ((np.arange(64).reshape(8, 8) * 3) % 256).astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    Image.fromarray(img, mode="L").save(p)
+    out = load_image(p)
+    assert np.array_equal(out, img.astype(np.float32))

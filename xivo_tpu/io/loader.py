@@ -53,6 +53,14 @@ def load_image(path: str) -> np.ndarray:
             pass
         img = _load_pnm(path)
     else:
+        if ext == ".png":
+            # prefer the native zlib decoder when built
+            try:
+                from .. import native
+                if native.get_lib() is not None:
+                    return native.load_image(path)
+            except Exception:
+                pass
         try:
             from PIL import Image
             img = np.asarray(Image.open(path))

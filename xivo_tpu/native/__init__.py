@@ -26,7 +26,7 @@ def _build() -> str:
             _SRC):
         return _SO
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-           _SRC, "-o", _SO]
+           _SRC, "-o", _SO, "-lz"]
     subprocess.run(cmd, check=True, capture_output=True)
     return _SO
 
@@ -49,6 +49,8 @@ def get_lib():
         lib.xivo_load_pgm.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.xivo_load_image.restype = ctypes.c_int
+        lib.xivo_load_image.argtypes = lib.xivo_load_pgm.argtypes
         lib.xivo_prefetcher_create.restype = ctypes.c_void_p
         lib.xivo_prefetcher_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
@@ -89,6 +91,23 @@ def load_pgm(path: str, max_pixels: int = 4096 * 4096):
         max_pixels, ctypes.byref(w), ctypes.byref(h))
     if st != 0:
         raise IOError(f"pgm decode failed ({st}) for {path}")
+    return buf[:w.value * h.value].reshape(h.value, w.value).copy()
+
+
+def load_image(path: str, max_pixels: int = 4096 * 4096):
+    """Native grayscale decode, PGM or PNG by extension (cv::imread
+    IMREAD_GRAYSCALE analogue; PNG via zlib, BT.601 luma for color)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    buf = np.empty((max_pixels,), np.float32)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    st = lib.xivo_load_image(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_pixels, ctypes.byref(w), ctypes.byref(h))
+    if st != 0:
+        raise IOError(f"image decode failed ({st}) for {path}")
     return buf[:w.value * h.value].reshape(h.value, w.value).copy()
 
 

@@ -106,6 +106,140 @@ int xivo_load_pgm(const char* path, float* out, int max_pixels, int* w,
 }
 
 // ---------------------------------------------------------------------
+// PNG decode (grayscale output) via zlib inflate — covers the TUM-VI /
+// EuRoC image format the reference reads through cv::imread
+// (src/loader.cpp). Supports bit depth 8/16, color types 0 (gray),
+// 2 (RGB), 4 (gray+alpha), 6 (RGBA) — color collapses to ITU-R BT.601
+// luma like cv::IMREAD_GRAYSCALE; non-interlaced only (Adam7 -> -6).
+// Filters 0..4 (None/Sub/Up/Average/Paeth) per the PNG spec.
+// ---------------------------------------------------------------------
+#include <zlib.h>
+
+static inline int paeth(int a, int b, int c) {
+  int p = a + b - c;
+  int pa = abs(p - a), pb = abs(p - b), pc = abs(p - c);
+  if (pa <= pb && pa <= pc) return a;
+  if (pb <= pc) return b;
+  return c;
+}
+
+int xivo_load_png(const char* path, float* out, int max_pixels, int* w,
+                  int* h) {
+  std::ifstream is(path, std::ios::binary);
+  if (!is) return -1;
+  uint8_t sig[8];
+  is.read(reinterpret_cast<char*>(sig), 8);
+  static const uint8_t kSig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a,
+                                  '\n'};
+  if (!is || memcmp(sig, kSig, 8) != 0) return -2;
+
+  uint32_t width = 0, height = 0;
+  int bit_depth = 0, color_type = 0, interlace = 0;
+  std::vector<uint8_t> idat;
+
+  auto rd_u32 = [&](const uint8_t* p) {
+    return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+           (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+  };
+
+  std::vector<uint8_t> chunk;
+  for (;;) {
+    uint8_t hdr[8];
+    is.read(reinterpret_cast<char*>(hdr), 8);
+    if (!is) return -3;
+    uint32_t len = rd_u32(hdr);
+    char type[5] = {char(hdr[4]), char(hdr[5]), char(hdr[6]), char(hdr[7]),
+                    0};
+    chunk.resize(len);
+    if (len) is.read(reinterpret_cast<char*>(chunk.data()), len);
+    is.ignore(4);  // CRC (not verified — matches stb/cv tolerance)
+    if (!is) return -3;
+    if (strcmp(type, "IHDR") == 0) {
+      if (len < 13) return -3;
+      width = rd_u32(&chunk[0]);
+      height = rd_u32(&chunk[4]);
+      bit_depth = chunk[8];
+      color_type = chunk[9];
+      interlace = chunk[12];
+      if (interlace != 0) return -6;
+      if (bit_depth != 8 && bit_depth != 16) return -7;
+      if (color_type != 0 && color_type != 2 && color_type != 4 &&
+          color_type != 6)
+        return -7;
+      if (int64_t(width) * height > max_pixels) return -4;
+    } else if (strcmp(type, "IDAT") == 0) {
+      idat.insert(idat.end(), chunk.begin(), chunk.end());
+    } else if (strcmp(type, "IEND") == 0) {
+      break;
+    }  // PLTE/ancillary chunks ignored (palette images rejected above)
+  }
+  if (width == 0 || height == 0 || idat.empty()) return -3;
+
+  const int channels =
+      (color_type == 0) ? 1 : (color_type == 2) ? 3 : (color_type == 4) ? 2
+                                                                        : 4;
+  const int bytes_pp = channels * (bit_depth / 8);
+  const size_t stride = size_t(width) * bytes_pp;
+  std::vector<uint8_t> raw((stride + 1) * height);
+  uLongf raw_len = raw.size();
+  if (uncompress(raw.data(), &raw_len, idat.data(), idat.size()) != Z_OK ||
+      raw_len != raw.size())
+    return -5;
+
+  // de-filter in place into a scanline buffer
+  std::vector<uint8_t> prev(stride, 0), cur(stride);
+  for (uint32_t y = 0; y < height; ++y) {
+    const uint8_t* src = raw.data() + size_t(y) * (stride + 1);
+    int filter = src[0];
+    const uint8_t* in = src + 1;
+    for (size_t i = 0; i < stride; ++i) {
+      int a = (i >= size_t(bytes_pp)) ? cur[i - bytes_pp] : 0;
+      int b = prev[i];
+      int c = (i >= size_t(bytes_pp)) ? prev[i - bytes_pp] : 0;
+      int x = in[i];
+      switch (filter) {
+        case 0: cur[i] = uint8_t(x); break;
+        case 1: cur[i] = uint8_t(x + a); break;
+        case 2: cur[i] = uint8_t(x + b); break;
+        case 3: cur[i] = uint8_t(x + ((a + b) >> 1)); break;
+        case 4: cur[i] = uint8_t(x + paeth(a, b, c)); break;
+        default: return -8;
+      }
+    }
+    // emit grayscale floats
+    float* row = out + size_t(y) * width;
+    const int bs = bit_depth / 8;
+    for (uint32_t xpx = 0; xpx < width; ++xpx) {
+      const uint8_t* px = cur.data() + size_t(xpx) * bytes_pp;
+      auto sample = [&](int ch) -> float {
+        const uint8_t* s = px + ch * bs;
+        return (bit_depth == 8) ? float(s[0]) : float((s[0] << 8) | s[1]);
+      };
+      if (channels <= 2) {
+        row[xpx] = sample(0);
+      } else {
+        row[xpx] = 0.299f * sample(0) + 0.587f * sample(1) +
+                   0.114f * sample(2);
+      }
+    }
+    std::swap(prev, cur);
+  }
+  *w = int(width);
+  *h = int(height);
+  return 0;
+}
+
+// Unified decode by extension (PGM or PNG).
+int xivo_load_image(const char* path, float* out, int max_pixels, int* w,
+                    int* h) {
+  size_t n = strlen(path);
+  if (n >= 4 && (strcmp(path + n - 4, ".png") == 0 ||
+                 strcmp(path + n - 4, ".PNG") == 0))
+    return xivo_load_png(path, out, max_pixels, w, h);
+  return xivo_load_pgm(path, out, max_pixels, w, h);
+}
+
+// ---------------------------------------------------------------------
 // SPSC image prefetcher: a background thread decodes a list of PGM
 // paths ahead of the consumer through a lock-free ring (the
 // ProducerConsumerQueue pattern, common/ProducerConsumerQueue.h:80-180:
@@ -138,8 +272,8 @@ struct Prefetcher {
       Slot& s = ring[head.load(std::memory_order_relaxed) % capacity];
       s.px.resize(max_pixels);
       s.status =
-          xivo_load_pgm(paths[i].c_str(), s.px.data(), max_pixels, &s.w,
-                        &s.h);
+          xivo_load_image(paths[i].c_str(), s.px.data(), max_pixels, &s.w,
+                          &s.h);
       head.store(head.load(std::memory_order_relaxed) + 1,
                  std::memory_order_release);
     }
