@@ -38,6 +38,9 @@ def main():
     ap.add_argument("-out", default="out_state")
     ap.add_argument("-dtype", default="float32")
     ap.add_argument("-max_frames", type=int, default=-1)
+    ap.add_argument("-graphout", default="",
+                    help="dump the visibility graph as Graphviz .dot "
+                         "(reference -graphout, src/app/vio.cpp:27)")
     args = ap.parse_args()
 
     cfg = load_json_with_comments(args.cfg)
@@ -59,6 +62,9 @@ def main():
                 break
     wall = time.time() - t0
     writer.write()
+    if args.graphout:
+        from xivo_tpu.viz import write_graphviz
+        write_graphviz(est, args.graphout)
     print(f"frames={nf} wall={wall:.1f}s fps={nf / max(wall, 1e-9):.1f} "
           f"-> {args.out}")
 

@@ -48,12 +48,18 @@ def test_async_process_matches_sync():
     est.InitWithSimDepths()
     proc = EstimatorProcess(est)
     poses = []
+    navs = []
     proc.pose_callbacks.append(
         lambda ts, R, T, P: poses.append((ts, T.copy())))
+    proc.nav2d_callbacks.append(
+        lambda ts, x, y, yaw: navs.append((ts, x, y, yaw)))
     proc.Start()
     feed(proc)
     proc.Wait()
     proc.Stop()
 
     assert len(poses) == 30            # one publish per visual frame
+    assert len(navs) == 30             # Publish2dNavState parity
     assert np.allclose(est.gsb()[1], T_sync, atol=1e-12)
+    # nav2d state matches the published pose
+    assert np.allclose([navs[-1][1], navs[-1][2]], poses[-1][1][:2])

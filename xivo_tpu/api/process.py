@@ -28,6 +28,12 @@ class EstimatorProcess:
         self.pose_callbacks: List[Callable] = []
         self.map_callbacks: List[Callable] = []
         self.state_callbacks: List[Callable] = []
+        # display-image callback: cb(ts, image, tracked_pixels) — the
+        # Publish(cv::Mat) seam (src/estimator_process.cpp:32-45)
+        self.image_callbacks: List[Callable] = []
+        # 2D nav-state callback: cb(ts, x, y, yaw) — Publish2dNavState
+        # parity (src/estimator_process.cpp:79-96)
+        self.nav2d_callbacks: List[Callable] = []
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
 
@@ -68,14 +74,14 @@ class EstimatorProcess:
                     self.est.InertialMeas(msg[1], msg[2], msg[3])
                 elif kind == "img":
                     self.est.VisualMeas(msg[1], msg[2])
-                    self._publish(msg[1])
+                    self._publish(msg[1], image=msg[2])
                 elif kind == "pc":
                     self.est.VisualMeasPointCloud(msg[1], msg[2], msg[3])
                     self._publish(msg[1])
             finally:
                 self.q.task_done()
 
-    def _publish(self, ts):
+    def _publish(self, ts, image=None):
         for cb in self.pose_callbacks:
             Rsb, Tsb = self.est.gsb()
             cb(ts, Rsb, Tsb, self.est.Pstate())
@@ -84,3 +90,10 @@ class EstimatorProcess:
             cb(pos, ids)
         for cb in self.state_callbacks:
             cb(self.est)
+        if image is not None:
+            for cb in self.image_callbacks:
+                cb(ts, image, self.est.tracked_features())
+        for cb in self.nav2d_callbacks:
+            Rsb, Tsb = self.est.gsb()
+            yaw = float(np.arctan2(Rsb[1, 0], Rsb[0, 0]))
+            cb(ts, float(Tsb[0]), float(Tsb[1]), yaw)
