@@ -28,8 +28,8 @@ from tests.test_e2e_pcw import PCW_CFG
 
 
 def main():
-    # measured batch sweep on v5e (frames/s/chip): 64->3992, 128->4385,
-    # 192->4206, 256->4269 — 128 is the throughput peak
+    # measured batch sweep on v5e (frames/s/chip), post gather-purge:
+    # 128 -> 10940, 256 -> 11493, 512 -> 11470 — saturates ~256
     B = int(os.environ.get("BENCH_BATCH", "256"))
     total_time = float(os.environ.get("BENCH_SECONDS", "5.0"))
 

@@ -62,7 +62,6 @@ def run_case(total_time, use_fej, use_oc, true_Tbc, true_Wbc):
             Ptbc + 1e-18 * jnp.eye(3, dtype=dt), tbc_err)
         return s, (out.Tsb, s.X.Tbc, nees)
 
-    step_j = jax.jit(step)
     import functools
     scan = jax.jit(functools.partial(jax.lax.scan, step))
     s, (Tsb, Tbc, nees) = scan(s, (fi.gyro, fi.accel, fi.imu_dt,

@@ -226,3 +226,52 @@ def test_change_owner_roundtrip():
     assert bool(ok2)
     assert np.allclose(xb, x, atol=1e-10)
     assert np.allclose(Pb, Psub, atol=1e-10)
+
+
+def test_absorb_error_matches_retraction_helpers():
+    """absorb_error inlines the stacked rotation retraction for speed; it
+    must stay term-for-term identical to the canonical helpers in
+    retraction.py (which the FD Jacobian tests perturb through)."""
+    import jax.numpy as jnp
+    from xivo_tpu.filter.config import config_from_json
+    from xivo_tpu.filter.state import init_state
+    from xivo_tpu.filter.retraction import (apply_group_error,
+                                            apply_motion_error)
+    from xivo_tpu.filter.update import absorb_error
+    from tests.test_e2e_pcw import PCW_CFG
+
+    cfg = config_from_json(PCW_CFG, dtype="float64",
+                           sim_initialize_depths=True)
+    s = init_state(cfg)
+    # occupy a couple of group/feature slots so the one-hot routes hit
+    gr = s.groups
+    gr = gr._replace(sind=gr.sind.at[0].set(2).at[3].set(0),
+                     gid=gr.gid.at[0].set(10).at[3].set(11))
+    fr = s.features
+    fr = fr._replace(sind=fr.sind.at[5].set(1), fid=fr.fid.at[5].set(7))
+    s = s._replace(groups=gr, features=fr,
+                   g2row=s.g2row.at[2].set(0).at[0].set(3),
+                   f2row=s.f2row.at[1].set(5))
+
+    rng = np.random.default_rng(3)
+    err = jnp.asarray(rng.standard_normal(cfg.dims.full) * 1e-2)
+
+    s2 = absorb_error(cfg, s, err)
+
+    from xivo_tpu.filter import layout as L
+    X_ref = apply_motion_error(s.X, err[:L.MOTION])
+    for f in X_ref._fields:
+        assert np.allclose(np.asarray(getattr(s2.X, f)),
+                           np.asarray(getattr(X_ref, f)), atol=1e-14), f
+    # group row 0 holds slot 2, row 3 holds slot 0
+    for row, slot in [(0, 2), (3, 0)]:
+        e6 = err[L.GROUP_BEGIN + 6 * slot:L.GROUP_BEGIN + 6 * slot + 6]
+        Rr, Tr = apply_group_error(s.groups.Rsb[row], s.groups.Tsb[row], e6)
+        assert np.allclose(np.asarray(s2.groups.Rsb[row]), np.asarray(Rr),
+                           atol=1e-14)
+        assert np.allclose(np.asarray(s2.groups.Tsb[row]), np.asarray(Tr),
+                           atol=1e-14)
+    # feature row 5 holds slot 1
+    e3 = err[cfg.dims.feature_begin + 3:cfg.dims.feature_begin + 6]
+    assert np.allclose(np.asarray(s2.features.x[5]),
+                       np.asarray(s.features.x[5] + e3), atol=1e-14)

@@ -466,4 +466,10 @@ def config_from_json(cfg: dict, dims: Optional[Dims] = None,
         if k in valid and k not in kw:
             kw[k] = tuple(v) if isinstance(v, list) else v
     kw.update(overrides)
-    return VIOConfig(**kw)
+    cfg_out = VIOConfig(**kw)
+    if cfg_out.use_oc and cfg_out.propagation_mode != "fast":
+        raise ValueError(
+            "use_oc requires propagation_mode='fast' (the OC correction "
+            "applies to the per-frame transition, which only the fast "
+            "mode materializes)")
+    return cfg_out

@@ -986,11 +986,11 @@ def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
     # reparametrize features, invalidating the gating-time Jacobians.
     # The reference reuses the stale Jacobians anyway (UpdateStep order:
     # ComputeInstateJacobians -> OutlierRejection -> DiscardAffectedGroups
-    # -> FilterUpdate, src/manager.cpp:18-167; SURVEY §7.3) — that is the
-    # default here too. recompute_stale_jacobians=True rebuilds them on
-    # structure-change frames (an accuracy-neutral-measured improvement;
-    # under batch vmap the cond's rare branch runs EVERY frame as a
-    # select, costing a full jacobian build, so parity is also faster).
+    # -> FilterUpdate, src/manager.cpp:18-167; SURVEY §7.3). Default here
+    # is recompute_stale_jacobians=True: the parity behavior measurably
+    # degrades online camera-intrinsics convergence (see config.py), and
+    # with the gather-free jacobian build the rebuild is cheap even
+    # though under batch vmap the cond runs every frame as a select.
     if cfg.recompute_stale_jacobians:
         sj2 = jax.lax.cond(structure_changed,
                            lambda s: build_stacked_jacobian(cfg, s),

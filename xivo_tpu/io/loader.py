@@ -70,7 +70,10 @@ def load_image(path: str) -> np.ndarray:
                 "npy/pgm") from e
     img = np.asarray(img, np.float32)
     if img.ndim == 3:
-        img = img.mean(axis=2)
+        # BT.601 luma — keep the PIL fallback bit-compatible with the
+        # native decoder (cv::IMREAD_GRAYSCALE convention)
+        img = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+               + 0.114 * img[..., 2])
     return img
 
 

@@ -124,7 +124,7 @@ static inline int paeth(int a, int b, int c) {
 }
 
 int xivo_load_png(const char* path, float* out, int max_pixels, int* w,
-                  int* h) {
+                  int* h) try {
   std::ifstream is(path, std::ios::binary);
   if (!is) return -1;
   uint8_t sig[8];
@@ -148,6 +148,10 @@ int xivo_load_png(const char* path, float* out, int max_pixels, int* w,
     is.read(reinterpret_cast<char*>(hdr), 8);
     if (!is) return -3;
     uint32_t len = rd_u32(hdr);
+    // corrupt-length guard: PNG chunks cap at 2^31-1, and nothing this
+    // decoder accepts needs more than ~raw image size; a bogus length
+    // must return an error code, not bad_alloc through the C ABI
+    if (len > (1u << 30)) return -3;
     char type[5] = {char(hdr[4]), char(hdr[5]), char(hdr[6]), char(hdr[7]),
                     0};
     chunk.resize(len);
@@ -227,6 +231,9 @@ int xivo_load_png(const char* path, float* out, int max_pixels, int* w,
   *w = int(width);
   *h = int(height);
   return 0;
+} catch (...) {
+  // no C++ exception may cross the ctypes boundary
+  return -9;
 }
 
 // Unified decode by extension (PGM or PNG).
