@@ -32,14 +32,16 @@ PATTERN = _pattern()
 def extract(img_smooth, xy):
     """Descriptor at one keypoint xy (2,) on a pre-smoothed image.
 
-    Returns (N_WORDS,) uint32. Callers vmap over keypoints.
+    Returns (N_WORDS,) uint32. Callers vmap over keypoints. Sampling is
+    gather-free: one patch extraction + in-patch 2-hot bilinear matmuls
+    (see image.sample_rel) — traced-index gathers serialize on TPU.
     """
-    from .image import bilinear
+    from .image import sample_rel
     pat = jnp.asarray(PATTERN)
-    p1 = xy[None, :] + pat[:, 0:2]
-    p2 = xy[None, :] + pat[:, 2:4]
-    a = bilinear(img_smooth, p1)
-    b = bilinear(img_smooth, p2)
+    rel = jnp.concatenate([pat[:, 0:2], pat[:, 2:4]], axis=0)   # (512, 2)
+    S = 2 * (PATCH_RADIUS + 2) + 1
+    vals = sample_rel(img_smooth, xy, rel, S)
+    a, b = vals[:N_BITS], vals[N_BITS:]
     bits = (a < b).astype(jnp.uint32)                      # (256,)
     bits = bits.reshape(N_WORDS, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)

@@ -44,27 +44,47 @@ def _disc_offsets(radius=15, step=3):
 _DISC = _disc_offsets()
 
 
-def orientation(img_smooth, xy):
-    """Intensity-centroid patch orientation (ORB, Rublee et al. §3.2)."""
-    from .image import bilinear
+def _orientation_from_patch(patch, center):
+    """Intensity-centroid orientation sampled in-patch (no gathers)."""
+    from .image import patch_bilinear_points
     offs = jnp.asarray(_DISC)
-    vals = bilinear(img_smooth, xy[None, :] + offs)
+    vals = patch_bilinear_points(patch, center[None, :] + offs)
     m10 = jnp.sum(vals * offs[:, 0])
     m01 = jnp.sum(vals * offs[:, 1])
     return jnp.arctan2(m01, m10)
 
 
+def orientation(img_smooth, xy):
+    """Intensity-centroid patch orientation (ORB, Rublee et al. §3.2)."""
+    from .image import extract_patch
+    S = 2 * 17 + 1
+    cx = jnp.round(xy[0]).astype(jnp.int32)
+    cy = jnp.round(xy[1]).astype(jnp.int32)
+    patch = extract_patch(img_smooth, cx, cy, S)
+    center = xy - (jnp.stack([cx, cy]).astype(img_smooth.dtype) - S // 2)
+    return _orientation_from_patch(patch, center)
+
+
 def extract_orb(img_smooth, xy):
-    """Steered-BRIEF descriptor at one keypoint (vmap over keypoints)."""
-    from .image import bilinear
-    th = orientation(img_smooth, xy)
+    """Steered-BRIEF descriptor at one keypoint (vmap over keypoints).
+
+    One shared patch serves the orientation disc and the rotated pattern
+    (max rotated extent = 15*sqrt(2) ~ 21.3 px); all sampling is 2-hot
+    in-patch matmuls (gather-free).
+    """
+    from .image import extract_patch, patch_bilinear_points
+    S = 2 * 23 + 1
+    cx = jnp.round(xy[0]).astype(jnp.int32)
+    cy = jnp.round(xy[1]).astype(jnp.int32)
+    patch = extract_patch(img_smooth, cx, cy, S)
+    center = xy - (jnp.stack([cx, cy]).astype(img_smooth.dtype) - S // 2)
+    th = _orientation_from_patch(patch, center)
     c, s = jnp.cos(th), jnp.sin(th)
     R = jnp.array([[c, -s], [s, c]])
     pat = jnp.asarray(brief.PATTERN)                   # (256, 4)
-    p1 = xy[None, :] + pat[:, 0:2] @ R.T
-    p2 = xy[None, :] + pat[:, 2:4] @ R.T
-    bits = (bilinear(img_smooth, p1)
-            < bilinear(img_smooth, p2)).astype(jnp.uint32)
+    rel = jnp.concatenate([pat[:, 0:2], pat[:, 2:4]], axis=0) @ R.T
+    vals = patch_bilinear_points(patch, center[None, :] + rel)
+    bits = (vals[:256] < vals[256:]).astype(jnp.uint32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     return jnp.sum(bits.reshape(8, 32) << shifts[None, :], axis=1,
                    dtype=jnp.uint32)
@@ -109,19 +129,24 @@ _RING4 = np.asarray(
 
 
 def extract_freak(img_smooth, xy):
-    """FREAK-style retina descriptor at one keypoint."""
-    from .image import bilinear
-    th = orientation(img_smooth, xy)
+    """FREAK-style retina descriptor at one keypoint (gather-free)."""
+    from .image import extract_patch, patch_bilinear_points
+    S = 2 * 20 + 1          # retina radius 15 + max field size 2 + slack
+    cx = jnp.round(xy[0]).astype(jnp.int32)
+    cy = jnp.round(xy[1]).astype(jnp.int32)
+    patch = extract_patch(img_smooth, cx, cy, S)
+    center = xy - (jnp.stack([cx, cy]).astype(img_smooth.dtype) - S // 2)
+    th = _orientation_from_patch(patch, center)
     c, s = jnp.cos(th), jnp.sin(th)
     R = jnp.array([[c, -s], [s, c]])
     ret = jnp.asarray(_RETINA)
-    centers = xy[None, :] + ret[:, :2] @ R.T             # (43, 2)
+    centers = center[None, :] + ret[:, :2] @ R.T         # (43, 2)
     # receptive field = center sample + 4-point ring average at the
     # field radius (approximates the per-field Gaussian)
     ring = jnp.asarray(_RING4)
     samp = centers[:, None, :] + ring[None, :, :] * ret[:, 2, None, None]
     pts = jnp.concatenate([centers[:, None, :], samp], axis=1)  # (43,5,2)
-    vals = bilinear(img_smooth, pts.reshape(-1, 2)).reshape(43, 5)
+    vals = patch_bilinear_points(patch, pts.reshape(-1, 2)).reshape(43, 5)
     field = jnp.mean(vals, axis=1)                        # (43,)
     pairs = jnp.asarray(_FREAK_PAIRS)
     bits = (field[pairs[:, 0]] < field[pairs[:, 1]]).astype(jnp.uint32)

@@ -91,3 +91,56 @@ def patch_coords(center, half: int):
     r = jnp.arange(-half, half + 1, dtype=center.dtype)
     ox, oy = jnp.meshgrid(r, r, indexing="xy")
     return jnp.stack([center[0] + ox, center[1] + oy], axis=-1)
+
+
+def extract_patch(img, cx, cy, S: int):
+    """(S, S) patch at integer center (cx, cy) via selection matmuls.
+
+    Gather-free (traced-index gathers serialize on TPU — see
+    ARCHITECTURE.md): one-hot row/col selection matrices turn the crop
+    into two dense matmuls. Out-of-image rows/cols clamp to the border
+    (replicated edge — the same values the border-clamped bilinear
+    sampler produces there). vmap over keypoints batches cleanly.
+    """
+    H, W = img.shape
+    offs = jnp.arange(S, dtype=jnp.int32) - S // 2
+    rows = jnp.clip(cy + offs, 0, H - 1)
+    cols = jnp.clip(cx + offs, 0, W - 1)
+    Ar = (rows[:, None]
+          == jnp.arange(H, dtype=jnp.int32)[None, :]).astype(img.dtype)
+    Ac = (cols[:, None]
+          == jnp.arange(W, dtype=jnp.int32)[None, :]).astype(img.dtype)
+    return Ar @ img @ Ac.T
+
+
+def patch_bilinear_points(patch, pts):
+    """Bilinear-sample (P, 2) continuous points (x, y) in patch coords
+    from an (S, S) patch — 2-hot interpolation matmuls, no gathers."""
+    S = patch.shape[0]
+    dt = patch.dtype
+    x = jnp.clip(pts[:, 0], 0.0, S - 1.001)
+    y = jnp.clip(pts[:, 1], 0.0, S - 1.001)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    k = jnp.arange(S, dtype=dt)
+    Wr = ((k[None, :] == y0[:, None]) * (1.0 - fy)
+          + (k[None, :] == y0[:, None] + 1.0) * fy)            # (P, S)
+    Wc = ((k[None, :] == x0[:, None]) * (1.0 - fx)
+          + (k[None, :] == x0[:, None] + 1.0) * fx)            # (P, S)
+    return jnp.sum((Wr @ patch) * Wc, axis=1)                  # (P,)
+
+
+def sample_rel(img, xy, rel, S: int):
+    """``bilinear(img, xy + rel)`` without gathers.
+
+    xy (2,) continuous keypoint; rel (P, 2) offsets with |rel| <=
+    S//2 - 1 (the patch radius). One patch extraction + in-patch 2-hot
+    sampling; vmap over keypoints.
+    """
+    cx = jnp.round(xy[0]).astype(jnp.int32)
+    cy = jnp.round(xy[1]).astype(jnp.int32)
+    patch = extract_patch(img, cx, cy, S)
+    base = jnp.stack([cx, cy]).astype(img.dtype) - S // 2
+    return patch_bilinear_points(patch, xy[None, :] + rel - base[None, :])

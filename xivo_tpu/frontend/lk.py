@@ -1,10 +1,20 @@
-"""Pyramidal Lucas-Kanade tracking, vmapped over a track table.
+"""Pyramidal Lucas-Kanade tracking, batched over a track table.
 
 Replaces cv::calcOpticalFlowPyrLK as used by Tracker::UpdateLK
 (src/tracker.cpp:463-629): coarse-to-fine translation-only LK with a
 fixed iteration budget per level, Scharr template gradients, bilinear
 sampling, and the same convergence/validity semantics (eps, window,
 max level, border check).
+
+TPU-native formulation: traced-index gathers serialize on TPU, and the
+textbook LK inner loop is nothing but gathers (4 per bilinear sample x
+window x iterations x levels — measured 214 ms/frame at 512x512 for a
+256-track table). Instead, each track's neighborhood is extracted ONCE
+per level as an (S, S) patch via separable one-hot selection matmuls
+(dense MXU work), and every bilinear sample inside the iteration is a
+pair of tiny 2-HOT interpolation matmuls against the patch — the
+bilinear weights (1-f, f) folded directly into the selection matrix.
+Same math, no gathers anywhere.
 """
 from __future__ import annotations
 
@@ -13,50 +23,117 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 
-from .image import bilinear, patch_coords, scharr
+from .image import scharr
 
 
-def _track_level(prev_img, next_img, gx, gy, pt_prev, pt_guess, half: int,
-                 iters: int, eps: float):
-    """One pyramid level of LK for a single point. Returns (pt, ok)."""
-    coords_t = patch_coords(pt_prev, half)           # template coords
-    T = bilinear(prev_img, coords_t)
-    Gx = bilinear(gx, coords_t)
-    Gy = bilinear(gy, coords_t)
-    # normal matrix of the template gradients
-    gxx = jnp.sum(Gx * Gx)
-    gxy = jnp.sum(Gx * Gy)
-    gyy = jnp.sum(Gy * Gy)
+def _extract_patches(imgs, cx, cy, S: int):
+    """Per-track square patches by separable selection matmuls.
+
+    imgs (C, H, W); cx/cy (N,) int32 patch centers. Returns (C, N, S, S)
+    with out-of-image rows/cols border-clamped (matching the bilinear
+    border clamp of the gather formulation).
+    """
+    C, H, W = imgs.shape
+    offs = jnp.arange(S, dtype=jnp.int32) - S // 2
+    rows = jnp.clip(cy[:, None] + offs[None, :], 0, H - 1)      # (N, S)
+    cols = jnp.clip(cx[:, None] + offs[None, :], 0, W - 1)
+    Ar = (rows[:, :, None]
+          == jnp.arange(H, dtype=jnp.int32)[None, None, :]).astype(imgs.dtype)
+    R = jnp.einsum("nsh,chw->cnsw", Ar, imgs)                   # (C,N,S,W)
+    Ac = (cols[:, :, None]
+          == jnp.arange(W, dtype=jnp.int32)[None, None, :]).astype(imgs.dtype)
+    return jnp.einsum("cnsw,ntw->cnst", R, Ac)                  # (C,N,S,S)
+
+
+def _patch_bilinear(patch, start, w: int):
+    """Bilinear w x w window from each patch at continuous top-left.
+
+    patch (N, S, S) indexed [row, col]; start (N, 2) = (x, y) window
+    top-left in patch coordinates. The fractional part becomes the 2-hot
+    interpolation weights of the selection matmuls. Clamps to the patch
+    interior (tracks that wander past the pad margin stop at the edge;
+    the downstream displacement/descriptor checks reject them).
+    """
+    N, S, _ = patch.shape
+    dt = patch.dtype
+    sx = jnp.clip(start[:, 0], 0.0, S - w - 1 + 0.999)
+    sy = jnp.clip(start[:, 1], 0.0, S - w - 1 + 0.999)
+    bx = jnp.floor(sx)
+    by = jnp.floor(sy)
+    fx = (sx - bx)[:, None, None]
+    fy = (sy - by)[:, None, None]
+    offs = jnp.arange(w, dtype=dt)
+    k = jnp.arange(S, dtype=dt)
+    rows = by[:, None] + offs[None, :]                          # (N, w)
+    Wr = ((k[None, None, :] == rows[:, :, None]) * (1.0 - fy)
+          + (k[None, None, :] == rows[:, :, None] + 1.0) * fy).astype(dt)
+    Rm = jnp.einsum("nws,nst->nwt", Wr, patch)                  # (N, w, S)
+    cols = bx[:, None] + offs[None, :]
+    Wc = ((k[None, None, :] == cols[:, :, None]) * (1.0 - fx)
+          + (k[None, None, :] == cols[:, :, None] + 1.0) * fx).astype(dt)
+    return jnp.einsum("nwt,nvt->nwv", Rm, Wc)                   # (N, w, w)
+
+
+def _track_level(prev_img, next_img, gx, gy, pts_prev, guesses, half: int,
+                 pad: int, iters: int, eps: float):
+    """One pyramid level of LK for the whole track table.
+
+    Returns (pts (N,2), ok_grad (N,)).
+    """
+    dt = prev_img.dtype
+    w = 2 * half + 1
+    S = w + 2 * pad
+
+    # template patch (image + gradients share the selection matrices)
+    tcx = jnp.round(pts_prev[:, 0]).astype(jnp.int32)
+    tcy = jnp.round(pts_prev[:, 1]).astype(jnp.int32)
+    tp = _extract_patches(jnp.stack([prev_img, gx, gy]), tcx, tcy, S)
+    torig = jnp.stack([tcx, tcy], axis=1).astype(dt) - S // 2   # (N,2)
+    tstart = (pts_prev - half) - torig
+    T = _patch_bilinear(tp[0], tstart, w)
+    Gx = _patch_bilinear(tp[1], tstart, w)
+    Gy = _patch_bilinear(tp[2], tstart, w)
+
+    gxx = jnp.sum(Gx * Gx, axis=(1, 2))
+    gxy = jnp.sum(Gx * Gy, axis=(1, 2))
+    gyy = jnp.sum(Gy * Gy, axis=(1, 2))
     det = gxx * gyy - gxy * gxy
     ok_grad = det > 1e-6
     det = jnp.where(ok_grad, det, 1.0)
 
+    # search patch in the next image, centered on the initial guess
+    scx = jnp.round(guesses[:, 0]).astype(jnp.int32)
+    scy = jnp.round(guesses[:, 1]).astype(jnp.int32)
+    sp = _extract_patches(next_img[None], scx, scy, S)[0]
+    sorig = jnp.stack([scx, scy], axis=1).astype(dt) - S // 2
+
     def body(_, carry):
         pt, done = carry
-        coords = patch_coords(pt, half)
-        I = bilinear(next_img, coords)
+        I = _patch_bilinear(sp, (pt - half) - sorig, w)
         r = I - T
-        bx = jnp.sum(Gx * r)
-        by = jnp.sum(Gy * r)
+        bx = jnp.sum(Gx * r, axis=(1, 2))
+        by = jnp.sum(Gy * r, axis=(1, 2))
         dx = (gyy * bx - gxy * by) / det
         dy = (gxx * by - gxy * bx) / det
-        step = jnp.stack([dx, dy])
-        small = jnp.linalg.norm(step) < eps
-        pt_new = jnp.where(done, pt, pt - step)
+        step = jnp.stack([dx, dy], axis=1)
+        small = jnp.linalg.norm(step, axis=1) < eps
+        pt_new = jnp.where(done[:, None], pt, pt - step)
         return pt_new, done | small
 
-    pt, _ = jax.lax.fori_loop(0, iters, body, (pt_guess, ~ok_grad))
+    pt, _ = jax.lax.fori_loop(0, iters, body, (guesses, ~ok_grad))
     return pt, ok_grad
 
 
 def track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
           pts, guesses, valid, win_size: int = 15, iters: int = 30,
-          eps: float = 0.01) -> Tuple[jnp.ndarray, jnp.ndarray]:
+          eps: float = 0.01, pad: int = 6) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Track points from prev to next through the pyramid.
 
     pts (N,2) positions in the previous full-res image; guesses (N,2)
     initial estimates in the next image (the filter prediction hook —
     cv::OPTFLOW_USE_INITIAL_FLOW); returns (new_pts (N,2), ok (N,)).
+    ``pad`` bounds the per-level refinement the iterations may add on top
+    of the pyramid guess (the patch margin).
     """
     half = win_size // 2
     L = len(prev_pyr)
@@ -69,15 +146,9 @@ def track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
     for lvl in range(L - 1, -1, -1):
         s = 2.0 ** lvl
         gx, gy = grads[lvl]
-        prev_l = prev_pyr[lvl]
-        next_l = next_pyr[lvl]
-
-        def one(p_prev, p_guess, v):
-            pt, okg = _track_level(prev_l, next_l, gx, gy, p_prev, p_guess,
-                                   half, iters, eps)
-            return jnp.where(v, pt, p_guess), okg
-
-        new_pts, okg = jax.vmap(one)(pts / s, cur, ok_all)
+        new_pts, okg = _track_level(prev_pyr[lvl], next_pyr[lvl], gx, gy,
+                                    pts / s, cur, half, pad, iters, eps)
+        new_pts = jnp.where(valid[:, None], new_pts, cur)
         ok_all = ok_all & okg
         cur = new_pts * 2.0 if lvl > 0 else new_pts
 
