@@ -23,9 +23,6 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 
-from .image import scharr
-
-
 def _extract_patches(imgs, cx, cy, S: int):
     """Per-track square patches by separable selection matmuls.
 
@@ -74,7 +71,26 @@ def _patch_bilinear(patch, start, w: int):
     return jnp.einsum("nwt,nvt->nwv", Rm, Wc)                   # (N, w, w)
 
 
-def _track_level(prev_img, next_img, gx, gy, pts_prev, guesses, half: int,
+def _scharr_patches(p):
+    """Scharr gradients on (N, S, S) patches (same kernel as
+    image.scharr). Edge-padded, so only the 1-px border differs from
+    full-image gradients — the LK window stays >= pad-1 >= 1 px inside
+    the patch, so the values it reads are identical."""
+    dt = p.dtype
+    kd = jnp.asarray([-1.0, 0.0, 1.0], dt) / 2.0
+    ks = jnp.asarray([3.0, 10.0, 3.0], dt) / 16.0
+
+    def sep(q, krow, kcol):
+        z = jnp.pad(q, ((0, 0), (1, 1), (0, 0)), mode="edge")
+        q = sum(z[:, i:z.shape[1] - 2 + i] * krow[i] for i in range(3))
+        z = jnp.pad(q, ((0, 0), (0, 0), (1, 1)), mode="edge")
+        return sum(z[:, :, i:z.shape[2] - 2 + i] * kcol[i]
+                   for i in range(3))
+
+    return sep(p, ks, kd), sep(p, kd, ks)
+
+
+def _track_level(prev_img, next_img, pts_prev, guesses, half: int,
                  pad: int, iters: int, eps: float):
     """One pyramid level of LK for the whole track table.
 
@@ -84,15 +100,17 @@ def _track_level(prev_img, next_img, gx, gy, pts_prev, guesses, half: int,
     w = 2 * half + 1
     S = w + 2 * pad
 
-    # template patch (image + gradients share the selection matrices)
+    # template patch; gradients computed in-patch (a third the matmul
+    # cost of extracting img+gx+gy channels, same values in the window)
     tcx = jnp.round(pts_prev[:, 0]).astype(jnp.int32)
     tcy = jnp.round(pts_prev[:, 1]).astype(jnp.int32)
-    tp = _extract_patches(jnp.stack([prev_img, gx, gy]), tcx, tcy, S)
+    tp = _extract_patches(prev_img[None], tcx, tcy, S)[0]       # (N,S,S)
+    gxp, gyp = _scharr_patches(tp)
     torig = jnp.stack([tcx, tcy], axis=1).astype(dt) - S // 2   # (N,2)
     tstart = (pts_prev - half) - torig
-    T = _patch_bilinear(tp[0], tstart, w)
-    Gx = _patch_bilinear(tp[1], tstart, w)
-    Gy = _patch_bilinear(tp[2], tstart, w)
+    T = _patch_bilinear(tp, tstart, w)
+    Gx = _patch_bilinear(gxp, tstart, w)
+    Gy = _patch_bilinear(gyp, tstart, w)
 
     gxx = jnp.sum(Gx * Gx, axis=(1, 2))
     gxy = jnp.sum(Gx * Gy, axis=(1, 2))
@@ -107,8 +125,12 @@ def _track_level(prev_img, next_img, gx, gy, pts_prev, guesses, half: int,
     sp = _extract_patches(next_img[None], scx, scy, S)[0]
     sorig = jnp.stack([scx, scy], axis=1).astype(dt) - S // 2
 
-    def body(_, carry):
-        pt, done = carry
+    def cond(carry):
+        i, _, done = carry
+        return (i < iters) & ~jnp.all(done)
+
+    def body(carry):
+        i, pt, done = carry
         I = _patch_bilinear(sp, (pt - half) - sorig, w)
         r = I - T
         bx = jnp.sum(Gx * r, axis=(1, 2))
@@ -118,9 +140,16 @@ def _track_level(prev_img, next_img, gx, gy, pts_prev, guesses, half: int,
         step = jnp.stack([dx, dy], axis=1)
         small = jnp.linalg.norm(step, axis=1) < eps
         pt_new = jnp.where(done[:, None], pt, pt - step)
-        return pt_new, done | small
+        return i + 1, pt_new, done | small
 
-    pt, _ = jax.lax.fori_loop(0, iters, body, (guesses, ~ok_grad))
+    # whole-table early exit: with the filter-predicted initial flow most
+    # tracks converge in a handful of iterations, so running the full
+    # OpenCV-default 30 wastes 2-3x LK runtime; done-masked updates make
+    # the early-exited result EXACTLY equal to the full-budget one.
+    # (a vmapped while_loop runs until every batch element's cond is
+    # false, so batch mode keeps the same exactness with global exit.)
+    _, pt, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), guesses, ~ok_grad))
     return pt, ok_grad
 
 
@@ -140,13 +169,11 @@ def track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
     scale = 2.0 ** (L - 1)
     cur = guesses / scale
 
-    grads = [scharr(p) for p in prev_pyr]
     ok_all = valid
 
     for lvl in range(L - 1, -1, -1):
         s = 2.0 ** lvl
-        gx, gy = grads[lvl]
-        new_pts, okg = _track_level(prev_pyr[lvl], next_pyr[lvl], gx, gy,
+        new_pts, okg = _track_level(prev_pyr[lvl], next_pyr[lvl],
                                     pts / s, cur, half, pad, iters, eps)
         new_pts = jnp.where(valid[:, None], new_pts, cur)
         ok_all = ok_all & okg
