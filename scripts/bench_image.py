@@ -28,7 +28,7 @@ from xivo_tpu.sim.render import render_dots
 from tests.test_image_vio import IMG_CFG, make_world
 
 
-def main():
+def build_frames():
     cfg_json = dict(IMG_CFG)
     cfg_json["camera_cfg"] = {"model": "pinhole", "rows": 512, "cols": 512,
                               "fx": 191.0, "fy": 191.0, "cx": 256.0,
@@ -66,7 +66,11 @@ def main():
                        jnp.asarray(img)))
         t_prev = t
         t += vis_dt
+    return frames, cfg
 
+
+def main():
+    frames, cfg = build_frames()
     s = init_state(cfg)
     a0, g0 = imu.meas(0.0)
     s = s._replace(last_gyro=jnp.asarray(g0, np.float32),
@@ -112,5 +116,57 @@ def main():
     }))
 
 
+def main_batched(B=16):
+    """Batched image-mode throughput: B independent streams vmapped.
+
+    Each stream replays the same rendered frames (same per-stream work
+    as the bench's single-stream case; heterogeneous-stream independence
+    is pinned separately in tests/test_batch_heterogeneous.py).
+    """
+    frames, cfg = build_frames()
+    rest = frames[20:60]     # bound staged device memory (B x frames x 1MB)
+    packed = tuple(jnp.stack([f[i] for f in rest]) for i in range(5))
+    packed_b = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[:, None], (x.shape[0], B) + x.shape[1:]),
+        packed)
+
+    s = init_state(cfg)
+    fes = init_frontend(cfg)
+    sb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(),
+                      s)
+    fb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(),
+                      fes)
+
+    def body(carry, inp):
+        s, fes = carry
+        gy, ac, dts, fdt, img = inp
+        s, fes, out = jax.vmap(partial(vio_frame_image, cfg))(
+            s, fes, gy, ac, dts, fdt, img)
+        return (s, fes), out.Tsb
+
+    @jax.jit
+    def run(s, fes, packed):
+        (s, fes), Tsb = jax.lax.scan(body, (s, fes), packed)
+        return Tsb
+
+    Tsb = run(sb, fb, packed_b)
+    jax.block_until_ready(Tsb)
+    t0 = time.perf_counter()
+    Tsb = run(sb, fb, packed_b)
+    jax.block_until_ready(Tsb)
+    wall = time.perf_counter() - t0
+    n = len(rest) * B
+    print(json.dumps({
+        "metric": "image_vio_frames_per_s_per_chip_batched",
+        "value": round(n / wall, 1), "unit": "frames/s/chip",
+        "batch": B, "image": "512x512",
+        "device": str(jax.devices()[0]),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    B = int(os.environ.get("IMG_BATCH", "0"))
+    if B > 0:
+        main_batched(B)
+    else:
+        main()
