@@ -66,11 +66,11 @@ def build_frames():
                        jnp.asarray(img)))
         t_prev = t
         t += vis_dt
-    return frames, cfg
+    return frames, cfg, imu
 
 
 def main():
-    frames, cfg = build_frames()
+    frames, cfg, imu = build_frames()
     s = init_state(cfg)
     a0, g0 = imu.meas(0.0)
     s = s._replace(last_gyro=jnp.asarray(g0, np.float32),
@@ -93,17 +93,17 @@ def main():
         s, fes = carry
         gy, ac, dts, fdt, img = inp
         s, fes, out = vio_frame_image(cfg, s, fes, gy, ac, dts, fdt, img)
-        return (s, fes), out.Tsb
+        return (s, fes), (out.Tsb, out.num_tracked)
 
     @jax.jit
     def run(s, fes, packed):
-        (s, fes), Tsb = jax.lax.scan(body, (s, fes), packed)
-        return s, fes, Tsb
+        (s, fes), outs = jax.lax.scan(body, (s, fes), packed)
+        return s, fes, outs
 
-    s2, fes2, Tsb = run(s, fes, packed)
+    s2, fes2, (Tsb, ntr) = run(s, fes, packed)
     jax.block_until_ready(Tsb)          # compile + warm
     t0 = time.perf_counter()
-    s2, fes2, Tsb = run(s, fes, packed)
+    s2, fes2, (Tsb, ntr) = run(s, fes, packed)
     jax.block_until_ready(Tsb)
     wall = time.perf_counter() - t0
     n = len(rest)
@@ -111,7 +111,7 @@ def main():
         "metric": "image_vio_frames_per_s_single_stream",
         "value": round(n / wall, 1),
         "unit": "frames/s", "ms_per_frame": round(wall / n * 1e3, 2),
-        "image": "512x512", "tracks": int(out.num_tracked),
+        "image": "512x512", "tracks": int(ntr[-1]),
         "device": str(jax.devices()[0]),
     }))
 
@@ -123,7 +123,7 @@ def main_batched(B=16):
     as the bench's single-stream case; heterogeneous-stream independence
     is pinned separately in tests/test_batch_heterogeneous.py).
     """
-    frames, cfg = build_frames()
+    frames, cfg, _ = build_frames()
     rest = frames[20:60]     # bound staged device memory (B x frames x 1MB)
     packed = tuple(jnp.stack([f[i] for f in rest]) for i in range(5))
     packed_b = jax.tree.map(

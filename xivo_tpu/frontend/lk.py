@@ -47,9 +47,11 @@ def _patch_bilinear(patch, start, w: int):
 
     patch (N, S, S) indexed [row, col]; start (N, 2) = (x, y) window
     top-left in patch coordinates. The fractional part becomes the 2-hot
-    interpolation weights of the selection matmuls. Clamps to the patch
-    interior (tracks that wander past the pad margin stop at the edge;
-    the downstream displacement/descriptor checks reject them).
+    interpolation weights of the selection matmuls. The start clamp here
+    is a numerical guard only — _track_level clamps the ITERATE and
+    fails tracks that escape the pad margin, so in-range inputs are the
+    invariant. (Sibling single-patch helpers live in image.py; keep the
+    conventions in sync.)
     """
     N, S, _ = patch.shape
     dt = patch.dtype
@@ -90,11 +92,15 @@ def _scharr_patches(p):
     return sep(p, ks, kd), sep(p, kd, ks)
 
 
-def _track_level(prev_img, next_img, pts_prev, guesses, half: int,
+def _track_level(prev_img, next_img, pts_prev, guesses, valid, half: int,
                  pad: int, iters: int, eps: float):
     """One pyramid level of LK for the whole track table.
 
-    Returns (pts (N,2), ok_grad (N,)).
+    Returns (pts (N,2), ok (N,)): ok = usable gradient AND the iterate
+    never needed to leave the searchable pad margin around the guess
+    (a track whose true correspondence lies beyond the patch cannot be
+    measured there — it must FAIL, not return a clamped position that
+    would pass the displacement gate with a wrong pixel).
     """
     dt = prev_img.dtype
     w = 2 * half + 1
@@ -125,12 +131,17 @@ def _track_level(prev_img, next_img, pts_prev, guesses, half: int,
     sp = _extract_patches(next_img[None], scx, scy, S)[0]
     sorig = jnp.stack([scx, scy], axis=1).astype(dt) - S // 2
 
+    # iterate positions must keep the sampling window inside the patch:
+    # pt in [sorig + half, sorig + half + (S - w - 1)] per axis
+    lo = sorig + half
+    hi = sorig + half + (S - w - 1)
+
     def cond(carry):
-        i, _, done = carry
+        i, _, done, _ = carry
         return (i < iters) & ~jnp.all(done)
 
     def body(carry):
-        i, pt, done = carry
+        i, pt, done, escaped = carry
         I = _patch_bilinear(sp, (pt - half) - sorig, w)
         r = I - T
         bx = jnp.sum(Gx * r, axis=(1, 2))
@@ -139,8 +150,13 @@ def _track_level(prev_img, next_img, pts_prev, guesses, half: int,
         dy = (gxx * by - gxy * bx) / det
         step = jnp.stack([dx, dy], axis=1)
         small = jnp.linalg.norm(step, axis=1) < eps
-        pt_new = jnp.where(done[:, None], pt, pt - step)
-        return i + 1, pt_new, done | small
+        raw = pt - step
+        clamped = jnp.clip(raw, lo, hi)
+        hit = jnp.any(raw != clamped, axis=1)
+        pt_new = jnp.where(done[:, None], pt, clamped)
+        # a track pushed past the pad margin cannot converge here — mark
+        # it escaped (-> failed) and stop iterating it
+        return i + 1, pt_new, done | small | hit, escaped | (hit & ~done)
 
     # whole-table early exit: with the filter-predicted initial flow most
     # tracks converge in a handful of iterations, so running the full
@@ -148,14 +164,17 @@ def _track_level(prev_img, next_img, pts_prev, guesses, half: int,
     # the early-exited result EXACTLY equal to the full-budget one.
     # (a vmapped while_loop runs until every batch element's cond is
     # false, so batch mode keeps the same exactness with global exit.)
-    _, pt, _ = jax.lax.while_loop(
-        cond, body, (jnp.zeros((), jnp.int32), guesses, ~ok_grad))
-    return pt, ok_grad
+    # invalid rows start done so stale table entries never block the exit
+    done0 = ~ok_grad | ~valid
+    _, pt, _, escaped = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), guesses, done0,
+                     jnp.zeros_like(ok_grad)))
+    return pt, ok_grad & ~escaped
 
 
 def track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
           pts, guesses, valid, win_size: int = 15, iters: int = 30,
-          eps: float = 0.01, pad: int = 6) -> Tuple[jnp.ndarray, jnp.ndarray]:
+          eps: float = 0.01, pad: int = 8) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Track points from prev to next through the pyramid.
 
     pts (N,2) positions in the previous full-res image; guesses (N,2)
@@ -174,7 +193,8 @@ def track(prev_pyr: List[jnp.ndarray], next_pyr: List[jnp.ndarray],
     for lvl in range(L - 1, -1, -1):
         s = 2.0 ** lvl
         new_pts, okg = _track_level(prev_pyr[lvl], next_pyr[lvl],
-                                    pts / s, cur, half, pad, iters, eps)
+                                    pts / s, cur, valid, half, pad, iters,
+                                    eps)
         new_pts = jnp.where(valid[:, None], new_pts, cur)
         ok_all = ok_all & okg
         cur = new_pts * 2.0 if lvl > 0 else new_pts
