@@ -48,12 +48,14 @@ def test_load_pgm(lib, tmp_path):
     out = native.load_pgm(str(p))
     assert out.shape == (48, 64)
     assert np.array_equal(out, img.astype(np.float32))
-    # 16-bit
+    # 16-bit rescales to 0..255 (cv::IMREAD_GRAYSCALE contract) so FAST
+    # thresholds are bit-depth independent
     img16 = rng.integers(0, 65535, (32, 40)).astype(np.uint16)
     p2 = tmp_path / "img16.pgm"
     write_pgm(str(p2), img16, maxv=65535)
     out16 = native.load_pgm(str(p2))
-    assert np.array_equal(out16, img16.astype(np.float32))
+    assert np.allclose(out16, img16.astype(np.float32) / 257.0, atol=1e-3)
+    assert out16.max() <= 255.0
 
 
 def test_prefetcher_streams_in_order(lib, tmp_path):
@@ -101,8 +103,19 @@ def test_load_png_gray16(lib, tmp_path):
     p = str(tmp_path / "g16.png")
     Image.fromarray(img, mode="I;16").save(p)
     out = native.load_image(p)
-    # PIL writes 16-bit PNG big-endian; exact round-trip expected
-    assert np.array_equal(out, img.astype(np.float32))
+    # 16-bit rescales to 0..255 (cv::IMREAD_GRAYSCALE contract); the
+    # PIL fallback in io.loader applies the same 1/257 scale
+    assert np.allclose(out, img.astype(np.float32) / 257.0, atol=1e-3)
+    assert out.max() <= 255.0
+    from xivo_tpu.io.loader import load_image as py_load
+
+    import xivo_tpu.native as nat
+    get_lib_save = nat.get_lib
+    try:
+        nat.get_lib = lambda: None  # force the PIL fallback path
+        assert np.allclose(py_load(p), out, atol=1e-3)
+    finally:
+        nat.get_lib = get_lib_save
 
 
 def test_load_png_rgb_luma(lib, tmp_path):

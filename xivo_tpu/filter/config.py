@@ -264,6 +264,16 @@ class VIOConfig:
     do_outlier_rejection: bool = False
     homography_reproj_thresh: float = 3.0
 
+    def __post_init__(self):
+        # every construction path (JSON, direct ctor, dataclasses.replace)
+        # must hit this invariant: only _propagate_frame_fast applies the
+        # OC transition correction, so other modes would silently skip it
+        if self.use_oc and self.propagation_mode != "fast":
+            raise ValueError(
+                "use_oc requires propagation_mode='fast' (the OC correction "
+                "applies to the per-frame transition, which only the fast "
+                "mode materializes)")
+
     @property
     def R(self):
         return self.visual_meas_std ** 2
@@ -467,9 +477,14 @@ def config_from_json(cfg: dict, dims: Optional[Dims] = None,
             kw[k] = tuple(v) if isinstance(v, list) else v
     kw.update(overrides)
     cfg_out = VIOConfig(**kw)
-    if cfg_out.use_oc and cfg_out.propagation_mode != "fast":
-        raise ValueError(
-            "use_oc requires propagation_mode='fast' (the OC correction "
-            "applies to the per-frame transition, which only the fast "
-            "mode materializes)")
+    # size the static fast-propagation substep grid so the configured
+    # stepsize is honored at the dataset's IMU rate: an interval longer
+    # than fast_substeps*stepsize would otherwise silently integrate
+    # coarser than configured (e.g. 100 Hz IMU + 2 ms stepsize needs 5
+    # substeps, not the old fixed 4)
+    if "fast_substeps" not in {**cfg, **overrides} and cfg_out.stepsize > 0:
+        imu_rate = cfg.get("imu_rate", 200.0)  # Hz; reference datasets >=100
+        need = int(np.ceil(1.0 / (imu_rate * cfg_out.stepsize)))
+        if need > cfg_out.fast_substeps:
+            cfg_out = dataclasses.replace(cfg_out, fast_substeps=need)
     return cfg_out

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from .. import cam as cam_mod
 from ..geom import so3
 from ..ops.dense import oh_take as _oh_take
+from ..ops.dense import HIGHEST
 from . import layout as L
 from .config import VIOConfig
 from .features import (change_owner, predict_pixel, subfilter_update_table,
@@ -231,7 +232,8 @@ def tracker_pointcloud(cfg: VIOConfig, s: VIOState, meas_id, meas_xp,
     ohf = oh.astype(fr.xp.dtype)
     new_fid = jnp.sum(oh * meas_id.astype(jnp.int32)[:, None], axis=0,
                       dtype=jnp.int32)
-    new_xp = jnp.einsum("mf,mk->fk", ohf, meas_xp.astype(fr.xp.dtype))
+    new_xp = jnp.einsum("mf,mk->fk", ohf, meas_xp.astype(fr.xp.dtype),
+                         precision=HIGHEST)
     new_depth = ohf.T @ meas_depth.astype(fr.xp.dtype)
     fr = fr._replace(
         fid=jnp.where(hit, new_fid, fr.fid),
@@ -307,7 +309,7 @@ def _process_tracks(cfg: VIOConfig, s: VIOState):
         oh_ref = (grow[:, None]
                   == jnp.arange(NG, dtype=grow.dtype)[None, :])
         first_xp = jnp.einsum("fg,fgk->fk", oh_ref.astype(fr.adj_xp.dtype),
-                              fr.adj_xp)
+                              fr.adj_xp, precision=HIGHEST)
         n_tri = sub & (fr.init_counter == 0)
 
         def tri_one(Rr, Tr, xp1, xp2, x):
@@ -372,7 +374,8 @@ def _add_feature_blocks(cfg: VIOConfig, P, fr: FeatureTable, new_slot_mask,
     NF = fr.fid.shape[0]
     oh = ((row_of_slot[:, None] == jnp.arange(NF)[None, :])
           & new_slot_mask[:, None]).astype(P.dtype)        # (S, NF)
-    blocks = jnp.einsum("sf,fij->sij", oh, fr.Psub.astype(P.dtype))
+    blocks = jnp.einsum("sf,fij->sij", oh, fr.Psub.astype(P.dtype),
+                        precision=HIGHEST)
     eye = jnp.eye(d.n_features, dtype=P.dtype)
     BD = jnp.einsum("fij,fg->figj", blocks, eye).reshape(
         3 * d.n_features, 3 * d.n_features)
@@ -1021,7 +1024,8 @@ def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
                == jnp.arange(cfg.dims.nf_rows)[None, :])       # (S, NF)
     hit_pred = jnp.any(oh_pred, axis=0)
     new_pred = jnp.einsum("sf,sk->fk", oh_pred.astype(fr.pred.dtype),
-                          sj2.pred.astype(fr.pred.dtype))
+                          sj2.pred.astype(fr.pred.dtype),
+                          precision=HIGHEST)
     fr = fr._replace(pred=jnp.where(hit_pred[:, None], new_pred, fr.pred))
     s = s._replace(features=fr)
 

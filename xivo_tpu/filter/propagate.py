@@ -264,7 +264,13 @@ def propagate_interval(cfg: VIOConfig, X: MotionState, Pmm, Pms,
         c, h_next = carry
         rem = dt - c.total
         if adaptive:
-            h = jnp.minimum(jnp.maximum(h_next, 1e-6), rem)
+            # end-of-interval handling per src/princedormand.cpp:53-58:
+            # if the controlled step overshoots take exactly the
+            # remainder; if 1.5 steps would overshoot, halve so the tail
+            # is two balanced half-steps instead of a tiny sliver
+            h = jnp.maximum(h_next, 1e-6)
+            h = jnp.where(h > rem, rem,
+                          jnp.where(1.5 * h > rem, 0.5 * h, h))
         else:
             h = jnp.minimum(h0, rem)
             # half-step trick: halve if 1.5 steps would overshoot

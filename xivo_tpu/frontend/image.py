@@ -12,6 +12,8 @@ from typing import List
 import jax
 import jax.numpy as jnp
 
+from ..ops.dense import HIGHEST
+
 
 def blur3(img):
     """3x3 binomial blur (separable [1 2 1]/4)."""
@@ -110,7 +112,8 @@ def extract_patch(img, cx, cy, S: int):
           == jnp.arange(H, dtype=jnp.int32)[None, :]).astype(img.dtype)
     Ac = (cols[:, None]
           == jnp.arange(W, dtype=jnp.int32)[None, :]).astype(img.dtype)
-    return Ar @ img @ Ac.T
+    return jnp.matmul(jnp.matmul(Ar, img, precision=HIGHEST), Ac.T,
+                      precision=HIGHEST)
 
 
 def patch_bilinear_points(patch, pts):
@@ -129,7 +132,8 @@ def patch_bilinear_points(patch, pts):
           + (k[None, :] == y0[:, None] + 1.0) * fy)            # (P, S)
     Wc = ((k[None, :] == x0[:, None]) * (1.0 - fx)
           + (k[None, :] == x0[:, None] + 1.0) * fx)            # (P, S)
-    return jnp.sum((Wr @ patch) * Wc, axis=1)                  # (P,)
+    return jnp.sum(jnp.matmul(Wr, patch, precision=HIGHEST) * Wc,
+                   axis=1)                                     # (P,)
 
 
 def sample_rel(img, xy, rel, S: int):

@@ -23,6 +23,9 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.dense import HIGHEST
+
+
 def _extract_patches(imgs, cx, cy, S: int):
     """Per-track square patches by separable selection matmuls.
 
@@ -36,10 +39,12 @@ def _extract_patches(imgs, cx, cy, S: int):
     cols = jnp.clip(cx[:, None] + offs[None, :], 0, W - 1)
     Ar = (rows[:, :, None]
           == jnp.arange(H, dtype=jnp.int32)[None, None, :]).astype(imgs.dtype)
-    R = jnp.einsum("nsh,chw->cnsw", Ar, imgs)                   # (C,N,S,W)
+    R = jnp.einsum("nsh,chw->cnsw", Ar, imgs,
+                   precision=HIGHEST)                           # (C,N,S,W)
     Ac = (cols[:, :, None]
           == jnp.arange(W, dtype=jnp.int32)[None, None, :]).astype(imgs.dtype)
-    return jnp.einsum("cnsw,ntw->cnst", R, Ac)                  # (C,N,S,S)
+    return jnp.einsum("cnsw,ntw->cnst", R, Ac,
+                      precision=HIGHEST)                        # (C,N,S,S)
 
 
 def _patch_bilinear(patch, start, w: int):
@@ -66,11 +71,13 @@ def _patch_bilinear(patch, start, w: int):
     rows = by[:, None] + offs[None, :]                          # (N, w)
     Wr = ((k[None, None, :] == rows[:, :, None]) * (1.0 - fy)
           + (k[None, None, :] == rows[:, :, None] + 1.0) * fy).astype(dt)
-    Rm = jnp.einsum("nws,nst->nwt", Wr, patch)                  # (N, w, S)
+    Rm = jnp.einsum("nws,nst->nwt", Wr, patch,
+                    precision=HIGHEST)                          # (N, w, S)
     cols = bx[:, None] + offs[None, :]
     Wc = ((k[None, None, :] == cols[:, :, None]) * (1.0 - fx)
           + (k[None, None, :] == cols[:, :, None] + 1.0) * fx).astype(dt)
-    return jnp.einsum("nwt,nvt->nwv", Rm, Wc)                   # (N, w, w)
+    return jnp.einsum("nwt,nvt->nwv", Rm, Wc,
+                      precision=HIGHEST)                        # (N, w, w)
 
 
 def _scharr_patches(p):

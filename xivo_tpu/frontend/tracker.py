@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from .. import cam as cam_mod
 from ..filter import layout as L
 from ..filter.config import VIOConfig
+from ..ops.dense import HIGHEST
 from ..filter.features import predict_pixel
 from ..filter.pipeline import StepOutputs, update_step, _clear_feature_rows, \
     _rank_assign
@@ -198,7 +199,8 @@ def _spawn_detections(s: VIOState, fr, det_xy, det_score, descs, det_ok,
     hit = jnp.any(oh, axis=0)
     ohf = oh.astype(dtype)
     put_fid = jnp.sum(oh * new_fids[:, None], axis=0, dtype=jnp.int32)
-    put_xy = jnp.einsum("kf,kc->fc", ohf, det_xy.astype(dtype))
+    put_xy = jnp.einsum("kf,kc->fc", ohf, det_xy.astype(dtype),
+                        precision=HIGHEST)
     put_desc = jnp.sum(oh[:, :, None] * descs[:, None, :], axis=0,
                        dtype=descs.dtype)
     fr = fr._replace(

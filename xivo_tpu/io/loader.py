@@ -64,6 +64,12 @@ def load_image(path: str) -> np.ndarray:
         try:
             from PIL import Image
             img = np.asarray(Image.open(path))
+            if img.dtype in (np.uint16, np.int32, np.uint32):
+                # cv::IMREAD_GRAYSCALE contract (matches the native
+                # decoders): 16-bit sources rescale to 0..255 so fixed
+                # intensity thresholds (FAST) are independent of the
+                # dataset's PNG bit depth
+                img = img.astype(np.float32) / 257.0
         except ImportError as e:  # pragma: no cover
             raise RuntimeError(
                 f"no decoder available for {path}; install pillow or use "
@@ -89,8 +95,11 @@ def _load_pnm(path: str) -> np.ndarray:
         maxv = int(f.readline())
         if magic == b"P5":
             dt = np.uint8 if maxv < 256 else ">u2"
-            return np.frombuffer(f.read(), dt).reshape(h, w).astype(
+            out = np.frombuffer(f.read(), dt).reshape(h, w).astype(
                 np.float32)
+            # 16-bit rescales to 0..255 (cv::IMREAD_GRAYSCALE contract,
+            # same as the native decoder)
+            return out / 257.0 if maxv >= 256 else out
         data = np.fromstring(f.read(), sep=" ")  # pragma: no cover
         return data.reshape(h, w).astype(np.float32)
 

@@ -26,6 +26,7 @@ from ..ba.core import BAProblem, solve as ba_solve
 from ..filter.config import VIOConfig
 from ..filter.features import unproject_logz
 from ..filter.state import VIOState
+from ..ops.dense import HIGHEST
 from ..geom import so3
 
 
@@ -158,7 +159,8 @@ def map_ba_problem(bm: BigMapState, min_obs: int = 2) -> BAProblem:
     oh = (bm.obs_kf[:, :, None] ==
           jnp.arange(Kc)[None, None, :])           # (M, O, Kc)
     mask = jnp.any(oh, axis=1)                      # (M, Kc)
-    obs = jnp.einsum("lok,loc->lkc", oh.astype(dtype), bm.obs_xn)
+    obs = jnp.einsum("lok,loc->lkc", oh.astype(dtype), bm.obs_xn,
+                     precision=HIGHEST)
     n_obs = jnp.sum(mask, axis=1)
     lm_ok = bm.valid & (n_obs >= min_obs)
     mask = mask & lm_ok[:, None] & bm.kf_valid[None, :]

@@ -95,10 +95,14 @@ int xivo_load_pgm(const char* path, float* out, int max_pixels, int* w,
     is.read(reinterpret_cast<char*>(buf.data()), npix);
     for (size_t i = 0; i < npix; ++i) out[i] = buf[i];
   } else {
+    // cv::IMREAD_GRAYSCALE contract: 16-bit rescales to the 0..255 range
+    // (x * 255/65535 = x/257) so fixed intensity thresholds downstream
+    // (FAST detection) see the same scale regardless of bit depth
     std::vector<uint8_t> buf(npix * 2);
     is.read(reinterpret_cast<char*>(buf.data()), npix * 2);
     for (size_t i = 0; i < npix; ++i)
-      out[i] = static_cast<float>((buf[2 * i] << 8) | buf[2 * i + 1]);
+      out[i] =
+          static_cast<float>((buf[2 * i] << 8) | buf[2 * i + 1]) / 257.0f;
   }
   *w = width;
   *h = height;
@@ -217,7 +221,11 @@ int xivo_load_png(const char* path, float* out, int max_pixels, int* w,
       const uint8_t* px = cur.data() + size_t(xpx) * bytes_pp;
       auto sample = [&](int ch) -> float {
         const uint8_t* s = px + ch * bs;
-        return (bit_depth == 8) ? float(s[0]) : float((s[0] << 8) | s[1]);
+        // 16-bit rescales to 0..255 (cv::IMREAD_GRAYSCALE contract; see
+        // the PGM decoder above)
+        return (bit_depth == 8)
+                   ? float(s[0])
+                   : float((s[0] << 8) | s[1]) / 257.0f;
       };
       if (channels <= 2) {
         row[xpx] = sample(0);

@@ -7,7 +7,14 @@ row gather from a (256,3,3) table measured ~0.5 ms/frame-batch at batch
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# One-hot selection matmuls are only EXACT at true-f32 matmul precision;
+# the bf16-pass TPU default would quantize gathered values (~0.4% error).
+# Request it explicitly so correctness never depends on the global
+# jax_default_matmul_precision flag set by entrypoints.
+HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def oh_take(arr, idx, n):
@@ -24,7 +31,8 @@ def oh_take(arr, idx, n):
     ft = arr.dtype if jnp.issubdtype(arr.dtype, jnp.floating) else jnp.float32
     oh = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :]).astype(ft)
     flat = arr.reshape(n, -1).astype(ft)
-    out = (oh @ flat).reshape((idx.shape[0],) + arr.shape[1:])
+    out = jnp.matmul(oh, flat, precision=HIGHEST).reshape(
+        (idx.shape[0],) + arr.shape[1:])
     if arr.dtype != ft:
         out = jnp.rint(out).astype(arr.dtype) \
             if jnp.issubdtype(arr.dtype, jnp.integer) else out.astype(arr.dtype)
