@@ -27,6 +27,77 @@ from xivo_tpu.sim.stream import build_pcw_stream
 from tests.test_e2e_pcw import PCW_CFG
 
 
+def bench_image(B: int):
+    """Image-mode (LK/FAST/BRIEF, 512x512) throughput: single-stream
+    ms/frame and B-stream batched frames/s/chip. BASELINE.md's ">=140
+    FPS-equivalent per chip" is an image-mode claim, so both modes are
+    first-class bench metrics (one JSON line still)."""
+    import time as _time
+    from functools import partial
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from bench_image import build_frames
+    from xivo_tpu.filter.state import init_state
+    from xivo_tpu.frontend import init_frontend, vio_frame_image
+
+    frames, cfg, imu = build_frames()
+    rest = frames[20:60]
+    packed = tuple(jnp.stack([f[i] for f in rest]) for i in range(5))
+
+    s = init_state(cfg)
+    a0, g0 = imu.meas(0.0)
+    s = s._replace(last_gyro=jnp.asarray(g0, np.float32),
+                   last_accel=jnp.asarray(a0, np.float32))
+    fes = init_frontend(cfg)
+
+    def body(carry, inp):
+        s, fes = carry
+        gy, ac, dts, fdt, img = inp
+        s, fes, out = vio_frame_image(cfg, s, fes, gy, ac, dts, fdt, img)
+        return (s, fes), out.Tsb
+
+    @jax.jit
+    def run1(s, fes, packed):
+        (_, _), Tsb = jax.lax.scan(body, (s, fes), packed)
+        return Tsb
+
+    Tsb = run1(s, fes, packed)
+    jax.block_until_ready(Tsb)
+    t0 = _time.perf_counter()
+    Tsb = run1(s, fes, packed)
+    jax.block_until_ready(Tsb)
+    wall1 = _time.perf_counter() - t0
+    single_fps = len(rest) / wall1
+
+    def bodyb(carry, inp):
+        s, fes = carry
+        gy, ac, dts, fdt, img = inp
+        s, fes, out = jax.vmap(partial(vio_frame_image, cfg))(
+            s, fes, gy, ac, dts, fdt, img)
+        return (s, fes), out.Tsb
+
+    @jax.jit
+    def runb(s, fes, packed):
+        (_, _), Tsb = jax.lax.scan(bodyb, (s, fes), packed)
+        return Tsb
+
+    packed_b = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[:, None],
+                                   (x.shape[0], B) + x.shape[1:]), packed)
+    sb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(),
+                      s)
+    fb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(),
+                      fes)
+    Tsb = runb(sb, fb, packed_b)
+    jax.block_until_ready(Tsb)
+    t0 = _time.perf_counter()
+    Tsb = runb(sb, fb, packed_b)
+    jax.block_until_ready(Tsb)
+    wallb = _time.perf_counter() - t0
+    return single_fps, len(rest) * B / wallb
+
+
 def main():
     # measured batch sweep on v5e (frames/s/chip), post gather-purge:
     # 128 -> 10940, 256 -> 11493, 512 -> 11470 — saturates ~256
@@ -68,13 +139,31 @@ def main():
 
     fps = B * T / wall
     baseline = 140.0
+
+    # image-mode figures (the honest BASELINE comparison; VERDICT r1 #9)
+    img_fields = {}
+    if os.environ.get("BENCH_IMG", "1") != "0":
+        try:
+            img_b = int(os.environ.get("IMG_BATCH", "16"))
+            img_single, img_batched = bench_image(img_b)
+            img_fields = {
+                "img_fps": round(img_batched, 1),
+                "img_fps_single_stream": round(img_single, 1),
+                "img_batch": img_b,
+                "img_vs_baseline": round(img_batched / baseline, 3),
+            }
+        except Exception as e:  # keep the PCW line printing regardless
+            img_fields = {"img_error": f"{type(e).__name__}: {e}"[:200]}
+
     print(json.dumps({
         "metric": "pcw_vio_frames_per_s_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / baseline, 3),
+        "pcw_fps": round(fps, 1),
         "batch": B, "frames": T, "wall_s": round(wall, 3),
         "ate_rmse_m": round(rmse, 4),
+        **img_fields,
         "device": str(jax.devices()[0]),
     }))
 
