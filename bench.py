@@ -14,9 +14,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-# EKF covariance algebra needs true fp32 matmuls; the TPU default
-# (bfloat16 passes) destroys the conditioning of P
-jax.config.update("jax_default_matmul_precision", "float32")
+# NOTE: no global jax_default_matmul_precision flag here — the filter
+# owns its numerics (float32 matmul-precision scopes inside
+# propagate_frame/update_step) and the default covariance form is the
+# square-root factor (structurally PSD in any precision).
 
 import jax.numpy as jnp
 import numpy as np
@@ -106,7 +107,8 @@ def main():
 
     cfg = config_from_json(
         PCW_CFG, dtype="float32", sim_initialize_depths=True,
-        propagation_mode=os.environ.get("BENCH_PROP", "fast"))
+        propagation_mode=os.environ.get("BENCH_PROP", "fast"),
+        covariance_form=os.environ.get("BENCH_COV", "sqrt"))
     fi, gt = build_pcw_stream(cfg, total_time=total_time, noise_px=0.25)
     T = int(fi.frame_dt.shape[0])
 

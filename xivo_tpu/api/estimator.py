@@ -331,11 +331,19 @@ class Estimator:
     def Cg(self):
         return np.asarray(self.state.X.Cg)
 
+    def _P_full(self):
+        """Dense covariance regardless of representation (sqrt mode
+        stores the factor; accessors expose P = S S^T)."""
+        P = np.asarray(self.state.P)
+        if P.shape[0] != P.shape[1]:
+            P = P @ P.T
+        return P
+
     def Pstate(self):
-        return np.asarray(self.state.P[:L.MOTION, :L.MOTION])
+        return self._P_full()[:L.MOTION, :L.MOTION]
 
     def P(self):
-        return np.asarray(self.state.P)
+        return self._P_full()
 
     def camera_intrinsics(self):
         return np.asarray(self.state.cam)
@@ -420,7 +428,7 @@ class Estimator:
     def InstateFeatureCovs(self):
         """Per-feature 3x3 blocks of the big covariance."""
         d = self.cfg.dims
-        P = np.asarray(self.state.P)
+        P = self._P_full()
         out = []
         for row in self._instate_rows():
             sl = int(np.asarray(self.state.features.sind)[row])
@@ -446,7 +454,7 @@ class Estimator:
 
     def InstateGroupCovs(self):
         from ..filter import layout as L
-        P = np.asarray(self.state.P)
+        P = self._P_full()
         gr = self.state.groups
         out = []
         for sl in np.asarray(gr.sind)[np.asarray(gr.sind) >= 0]:

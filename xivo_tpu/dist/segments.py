@@ -107,7 +107,14 @@ def seed_segment_states(cfg: VIOConfig, fis: FrameInputs, boot_frames: int,
     diag_extra = jnp.zeros((D,), dt)
     diag_extra = diag_extra.at[L.WSB:L.WSB + 3].set(att_std ** 2)
     diag_extra = diag_extra.at[L.VSB:L.VSB + 3].set(v_std ** 2)
-    P = sb.P + jnp.diag(diag_extra)[None, :, :]
+    if cfg.covariance_form == "sqrt":
+        # fresh init factor is diagonal: widen in std space
+        idx = jnp.arange(D)
+        diag0 = sb.P[:, idx, idx]
+        P = sb.P.at[:, idx, idx].set(jnp.sqrt(diag0 ** 2
+                                              + diag_extra[None, :]))
+    else:
+        P = sb.P + jnp.diag(diag_extra)[None, :, :]
     return sb._replace(X=X, P=P, last_gyro=lg, last_accel=la)
 
 

@@ -74,6 +74,16 @@ class VIOConfig:
     # "fast": discrete transition composition, one P application per frame
     # "batched": all substeps at once + associative scans (TPU-fastest)
     propagation_mode: str = "reference"
+    # covariance representation:
+    #   "full" — dense P with Joseph-form updates (reference parity,
+    #            src/estimator.cpp:1257-1288)
+    #   "sqrt" — Cholesky-factor P = S S^T (filter/sqrt_form.py): PSD by
+    #            construction in float32/bfloat16, one QR re-compression
+    #            per frame, factor downdates instead of Joseph — the
+    #            TPU-native design named by SURVEY.md §7.3. Requires
+    #            propagation_mode="fast" (needs the per-frame discrete
+    #            transition Phi/Qd).
+    covariance_form: str = "full"
     total_substeps: int = 64         # static global substep budget/frame
     # fast mode: >0 = static fully-unrolled substep grid per interval
     # (n = clip(ceil(dt/h0), 1, fast_substeps) uniform steps, fusable
@@ -272,6 +282,16 @@ class VIOConfig:
             raise ValueError(
                 "use_oc requires propagation_mode='fast' (the OC correction "
                 "applies to the per-frame transition, which only the fast "
+                "mode materializes)")
+        if self.covariance_form not in ("full", "sqrt"):
+            raise ValueError(
+                f"covariance_form must be 'full' or 'sqrt', got "
+                f"{self.covariance_form!r}")
+        if self.covariance_form == "sqrt" and self.propagation_mode != "fast":
+            raise ValueError(
+                "covariance_form='sqrt' requires propagation_mode='fast' "
+                "(the factor propagation consumes the per-frame discrete "
+                "transition Phi and accumulated Qd, which only the fast "
                 "mode materializes)")
 
     @property

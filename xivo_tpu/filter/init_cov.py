@@ -177,7 +177,6 @@ def add_init_correlations(cfg: VIOConfig, s: VIOState, new_slot_mask,
         np.arange(L.CAM, L.CAM + L.NCAM),
         np.arange(L.GROUP_BEGIN, L.GROUP_BEGIN + 6 * G)]))
     P_o = s.P[oidx]            # (K, D) — rows of the o-block vs everything
-    P_oo = P_o[:, oidx]        # (K, K)
 
     def per_slot(slot):
         row = row_of_slot[slot]
@@ -195,6 +194,14 @@ def add_init_correlations(cfg: VIOConfig, s: VIOState, new_slot_mask,
         return jnp.where(use, J, jnp.zeros_like(J))
 
     Jf = jax.vmap(per_slot)(jnp.arange(F))                  # (F, 3, K)
+    if cfg.covariance_form == "sqrt":
+        # on the factor the congruence [[I],[J.]] is a plain ROW
+        # transform: new rows += J @ S[o-rows]. Cross terms to every
+        # state, pairwise new-new blocks, and PSD-ness all follow from
+        # P = S S^T — one line replaces the three dense adds below.
+        C = jnp.einsum("fik,kd->fid", Jf, P_o).reshape(3 * F, -1)
+        return s._replace(P=s.P.at[fb:, :].add(C))
+    P_oo = P_o[:, oidx]        # (K, K)
     # cross rows vs EVERY existing state: J P[o, :]. Columns landing in
     # new feature slots are zero here (their P rows were zeroed before
     # the block-diagonal insert), so the pairwise term below is not

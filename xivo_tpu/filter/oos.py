@@ -179,15 +179,21 @@ def oos_update(cfg: VIOConfig, s: VIOState, candidate_rows) -> VIOState:
         Hm = Hm * rv[:, None].astype(dtype)
         innm = innm * rv.astype(dtype)
 
-    HP = Hm @ s.P
-    S = HP @ Hm.T + jnp.diag(diagRm)
-    c, lower = jax.scipy.linalg.cho_factor(S, lower=True)
-    Kt = jax.scipy.linalg.cho_solve((c, lower), HP)
-    K = Kt.T
-    err = K @ innm
-    IKH = K @ Hm - jnp.eye(d.full, dtype=dtype)
-    P = IKH @ s.P @ IKH.T + (K * diagRm[None, :]) @ K.T
-    P = 0.5 * (P + P.T)
+    if cfg.covariance_form == "sqrt":
+        # factor downdate, per-row validity (rows here are single, not
+        # 2-row feature pairs — sqrt_update masks each row on its own)
+        from .sqrt_form import sqrt_update
+        err, P = sqrt_update(s.P, Hm, innm, diagRm, rv)
+    else:
+        HP = Hm @ s.P
+        S = HP @ Hm.T + jnp.diag(diagRm)
+        c, lower = jax.scipy.linalg.cho_factor(S, lower=True)
+        Kt = jax.scipy.linalg.cho_solve((c, lower), HP)
+        K = Kt.T
+        err = K @ innm
+        IKH = K @ Hm - jnp.eye(d.full, dtype=dtype)
+        P = IKH @ s.P @ IKH.T + (K * diagRm[None, :]) @ K.T
+        P = 0.5 * (P + P.T)
 
     do = jnp.any(rv)
     from .update import absorb_error

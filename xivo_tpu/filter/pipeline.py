@@ -34,8 +34,8 @@ from .state import (FS_CREATED, FS_EMPTY, FS_GAUGE, FS_INITIALIZING,
                     FS_INSTATE, FS_READY, TS_CREATED, TS_DROPPED, TS_NONE,
                     TS_TRACKED, FeatureTable, GroupTable, VIOState)
 from .update import (absorb_error, build_stacked_jacobian,
-                     huber_robustify_R, joseph_update, mh_distances,
-                     mh_gate, zero_state_entries)
+                     huber_robustify_R, joseph_update, measurement_update,
+                     mh_distances, mh_gate, zero_state_entries)
 
 
 # ---------------------------------------------------------------------------
@@ -365,7 +365,10 @@ def _add_feature_blocks(cfg: VIOConfig, P, fr: FeatureTable, new_slot_mask,
     """Insert subfilter covariances into newly-assigned feature slots.
 
     FillCovarianceBlock parity (src/feature.cpp:753-776): zero the slot's
-    rows, then write Psub on the block diagonal.
+    rows, then write Psub on the block diagonal. In sqrt form the block
+    factor chol(Psub) lands in the slot's own slack-column band, which
+    makes it independent of every other state by construction (the band
+    is zero everywhere else — see filter/sqrt_form.py).
     """
     d = cfg.dims
     P = zero_state_entries(
@@ -377,26 +380,17 @@ def _add_feature_blocks(cfg: VIOConfig, P, fr: FeatureTable, new_slot_mask,
     blocks = jnp.einsum("sf,fij->sij", oh, fr.Psub.astype(P.dtype),
                         precision=HIGHEST)
     eye = jnp.eye(d.n_features, dtype=P.dtype)
+    fb = d.feature_begin
+    if cfg.covariance_form == "sqrt":
+        from .sqrt_form import chol3x3, feature_band
+        Lb = chol3x3(blocks) * new_slot_mask[:, None, None]
+        BD = jnp.einsum("fij,fg->figj", Lb, eye).reshape(
+            3 * d.n_features, 3 * d.n_features)
+        cb = feature_band(d, 0)
+        return P.at[fb:, cb:cb + 3 * d.n_features].add(BD)
     BD = jnp.einsum("fij,fg->figj", blocks, eye).reshape(
         3 * d.n_features, 3 * d.n_features)
-    fb = d.feature_begin
     return P.at[fb:, fb:].add(BD)
-
-
-def _add_group_to_state_P(cfg: VIOConfig, P, gslot):
-    """Copy body-pose covariance rows/cols into a group slot.
-
-    AddGroupToState parity (src/estimator.cpp:786-824): the new group's
-    error is a copy of the current (Wsb, Tsb) error.
-    """
-    D = cfg.dims.full
-    goff = (L.GROUP_BEGIN + 6 * gslot).astype(jnp.int32)
-    zero = jnp.zeros((), jnp.int32)
-    rows = jnp.concatenate([jnp.arange(L.WSB, L.WSB + 3),
-                            jnp.arange(L.TSB, L.TSB + 3)])
-    P = jax.lax.dynamic_update_slice(P, P[rows, :], (goff, zero))
-    P = jax.lax.dynamic_update_slice(P, P[:, rows], (zero, goff))
-    return P
 
 
 def _refine_candidate_depths(cfg: VIOConfig, s: VIOState) -> VIOState:
@@ -512,10 +506,14 @@ def _admit_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
             [P[L.WSB:L.WSB + 3], P[L.TSB:L.TSB + 3]], axis=0), (G, 1))
         grows = jnp.where(sel[:, None], src_rows, P[gb:ge])
         P = jnp.concatenate([P[:gb], grows, P[ge:]], axis=0)
-        src_cols = jnp.tile(jnp.concatenate(
-            [P[:, L.WSB:L.WSB + 3], P[:, L.TSB:L.TSB + 3]], axis=1), (1, G))
-        gcols = jnp.where(sel[None, :], src_cols, P[:, gb:ge])
-        P = jnp.concatenate([P[:, :gb], gcols, P[:, ge:]], axis=1)
+        if cfg.covariance_form != "sqrt":
+            # dense form needs the symmetric column copy too; on a factor
+            # the row copy alone realizes the error-clone exactly
+            src_cols = jnp.tile(jnp.concatenate(
+                [P[:, L.WSB:L.WSB + 3], P[:, L.TSB:L.TSB + 3]], axis=1),
+                (1, G))
+            gcols = jnp.where(sel[None, :], src_cols, P[:, gb:ge])
+            P = jnp.concatenate([P[:, :gb], gcols, P[:, ge:]], axis=1)
         s = s._replace(groups=gr, g2row=g2row, P=P)
         # admit candidate features of all taken groups in one pass
         want = cand & _oh_take(take, jnp.clip(fr.ref, 0, NG - 1),
@@ -680,7 +678,7 @@ def _one_pt_ransac(cfg: VIOConfig, s: VIOState, inlier_slots):
         P_li = zero_state_entries(s.P, (keepf * keepg) > 0)
 
         diagR = jnp.full((2 * d.n_features,), cfg.R, s.P.dtype)
-        err, P_upd = joseph_update(P_li, sj.H, sj.inn, diagR, li)
+        err, P_upd = measurement_update(P_li, sj.H, sj.inn, diagR, li)
         s_upd = absorb_error(cfg, s._replace(P=P_upd), err)
 
         # re-evaluate high-innovation features on the updated state
@@ -758,7 +756,11 @@ def _switch_gauge_group(cfg: VIOConfig, s: VIOState) -> VIOState:
     def pick(s):
         gr = s.groups
         G = cfg.dims.n_groups
-        diag = jnp.diagonal(s.P)
+        if cfg.covariance_form == "sqrt":
+            from .sqrt_form import factor_diag
+            diag = factor_diag(s.P)
+        else:
+            diag = jnp.diagonal(s.P)
         # per-SLOT pose-covariance traces, densely; then per-row via a
         # tiny one-hot matvec. (A vmapped dynamic_slice over the 128
         # group rows serializes on TPU — and under batch vmap this
@@ -927,8 +929,25 @@ class StepOutputs(NamedTuple):
 def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
     """The full per-frame filter pipeline after tracker association.
 
-    Mirrors Estimator::UpdateStep (src/manager.cpp:18-167).
+    Mirrors Estimator::UpdateStep (src/manager.cpp:18-167). The whole
+    step is traced under float32 matmul precision: the covariance
+    algebra does not survive the TPU's default bfloat16 passes, and the
+    library owns that requirement (entrypoints must not need a global
+    jax_default_matmul_precision flag). Explicit per-op precisions
+    still win where set.
     """
+    with jax.default_matmul_precision("float32"):
+        s, out = _update_step_impl(cfg, s)
+    if cfg.covariance_form == "sqrt":
+        # end-of-frame factor re-compression restores the slack-column
+        # invariant (see filter/sqrt_form.py)
+        from .sqrt_form import factor_recompress
+        s = s._replace(P=factor_recompress(s.P, cfg.dims.full))
+    return s, out
+
+
+def _update_step_impl(cfg: VIOConfig, s: VIOState
+                      ) -> Tuple[VIOState, StepOutputs]:
     s, affected = _process_tracks(cfg, s)
 
     # admission
@@ -1009,7 +1028,7 @@ def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
                                   s.P.dtype)
     else:
         diagR = jnp.full((2 * cfg.dims.n_features,), cfg.R, s.P.dtype)
-    err, P = joseph_update(s.P, sj2.H, sj2.inn, diagR, inlier_now)
+    err, P = measurement_update(s.P, sj2.H, sj2.inn, diagR, inlier_now)
     do_upd = jnp.any(inlier_now)
     err = jnp.where(do_upd, err, 0.0)
     P = jnp.where(do_upd, P, s.P)
@@ -1104,12 +1123,16 @@ def _propagate_frame_fast(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel,
     qm = qm.at[L.WSB:L.WSB + 3].set(cfg.Qmodel_Wsb ** 2)
     qm = qm.at[L.WBC:L.WBC + 3].set(cfg.Qmodel_Wbc ** 2)
     qm = qm.at[L.WSG:L.WSG + 2].set(cfg.Qmodel_Wsg ** 2)
-    Pmm = Phi @ s.P[:m, :m] @ Phi.T + Q \
-        + nprop.astype(dtype) * jnp.diag(qm)
-    Pms = Phi @ s.P[:m, m:]
-    P = s.P.at[:m, :m].set(0.5 * (Pmm + Pmm.T))
-    P = P.at[:m, m:].set(Pms)
-    P = P.at[m:, :m].set(Pms.T)
+    Qd = Q + nprop.astype(dtype) * jnp.diag(qm)
+    if cfg.covariance_form == "sqrt":
+        from .sqrt_form import factor_propagate
+        P = factor_propagate(cfg, s.P, Phi, Qd)
+    else:
+        Pmm = Phi @ s.P[:m, :m] @ Phi.T + Qd
+        Pms = Phi @ s.P[:m, m:]
+        P = s.P.at[:m, :m].set(0.5 * (Pmm + Pmm.T))
+        P = P.at[:m, m:].set(Pms)
+        P = P.at[m:, :m].set(Pms.T)
     if cfg.fast_substeps > 0:
         # substeps skip the polar projection; restore orthonormality once
         # per frame (stricter than the reference's every-50-updates
@@ -1119,10 +1142,12 @@ def _propagate_frame_fast(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel,
                       slope_gyro=sg, slope_accel=sa)
 
 
-def vio_frame(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel, imu_dt,
-              frame_dt, meas_id, meas_xp, meas_depth, meas_valid):
-    """One full visual frame: IMU scan + propagation to frame time +
-    tracker + update step. This is THE function to jit/scan/vmap."""
+def propagate_frame(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel,
+                    imu_dt, frame_dt) -> VIOState:
+    """Frame-interval propagation: IMU samples + extrapolation to frame
+    time, dispatched on cfg.propagation_mode. Shared by every frame
+    variant (point-cloud, image, mapped). Traced under float32 matmul
+    precision — see update_step."""
     # With online temporal calibration the effective frame time shifts by
     # the CURRENT td estimate relative to the shift already applied — the
     # in-graph equivalent of the reference's host-side ts += td
@@ -1133,22 +1158,30 @@ def vio_frame(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel, imu_dt,
     else:
         dt_eff = frame_dt
 
-    if cfg.propagation_mode == "batched":
-        from .propagate_batched import propagate_frame_batched
-        s = propagate_frame_batched(cfg, s, imu_gyro, imu_accel, imu_dt,
-                                    dt_eff)
-    elif cfg.propagation_mode == "fast":
-        s = _propagate_frame_fast(cfg, s, imu_gyro, imu_accel, imu_dt,
-                                  dt_eff)
-    else:
-        def imu_body(s, inp):
-            gy, ac, dt = inp
-            return imu_sample_update(cfg, s, gy, ac, dt), None
+    with jax.default_matmul_precision("float32"):
+        if cfg.propagation_mode == "batched":
+            from .propagate_batched import propagate_frame_batched
+            s = propagate_frame_batched(cfg, s, imu_gyro, imu_accel,
+                                        imu_dt, dt_eff)
+        elif cfg.propagation_mode == "fast":
+            s = _propagate_frame_fast(cfg, s, imu_gyro, imu_accel, imu_dt,
+                                      dt_eff)
+        else:
+            def imu_body(s, inp):
+                gy, ac, dt = inp
+                return imu_sample_update(cfg, s, gy, ac, dt), None
 
-        s, _ = jax.lax.scan(imu_body, s, (imu_gyro, imu_accel, imu_dt))
-        s = jax.lax.cond(dt_eff > 0,
-                         lambda s: propagate_state(cfg, s, dt_eff, True),
-                         lambda s: s, s)
+            s, _ = jax.lax.scan(imu_body, s, (imu_gyro, imu_accel, imu_dt))
+            s = jax.lax.cond(dt_eff > 0,
+                             lambda s: propagate_state(cfg, s, dt_eff, True),
+                             lambda s: s, s)
+    return s
 
+
+def vio_frame(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel, imu_dt,
+              frame_dt, meas_id, meas_xp, meas_depth, meas_valid):
+    """One full visual frame: IMU scan + propagation to frame time +
+    tracker + update step. This is THE function to jit/scan/vmap."""
+    s = propagate_frame(cfg, s, imu_gyro, imu_accel, imu_dt, frame_dt)
     s = tracker_pointcloud(cfg, s, meas_id, meas_xp, meas_depth, meas_valid)
     return update_step(cfg, s)

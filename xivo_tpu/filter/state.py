@@ -182,7 +182,14 @@ def init_state(cfg: VIOConfig, key=None) -> VIOState:
         stds[layout.CAM:layout.CAM + 2] = np.sqrt(cfg.P_FC[0])
         stds[layout.CAM + 2:layout.CAM + 4] = np.sqrt(cfg.P_FC[1])
         stds[layout.CAM + 4:layout.CAM + dim] = np.sqrt(cfg.P_distortion)
-    P = jnp.asarray(np.diag(stds ** 2), dt)
+    if cfg.covariance_form == "sqrt":
+        # factor representation: P = S S^T, diagonal init factor = stds,
+        # plus the intra-frame slack workspace (see filter/sqrt_form.py)
+        from .sqrt_form import slack_cols
+        P = jnp.asarray(np.pad(np.diag(stds),
+                               ((0, 0), (0, slack_cols(d)))), dt)
+    else:
+        P = jnp.asarray(np.diag(stds ** 2), dt)
 
     kind, intrin, _ = cam_mod.intrinsics_from_cfg(
         dict(model=cfg.cam_model, rows=int(cfg.cam_params[0]),

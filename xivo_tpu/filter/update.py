@@ -123,14 +123,21 @@ def mh_distances(P, H, inn, R):
 
     Mirrors MHGating's per-feature S = J P J^T + R I (src/update.cpp:59-70)
     — computed for ALL slots in one batched einsum + 2x2 closed-form solve.
+    Accepts either a dense covariance (square) or a square-root factor
+    (rectangular, P = S S^T — see filter/sqrt_form.py).
     """
     F = H.shape[0] // 2
-    HP = H @ P                       # (2F, D)
-    S_full = HP @ H.T                # (2F, 2F)
     idx = jnp.arange(F)
-    S00 = S_full[2 * idx, 2 * idx] + R
-    S01 = S_full[2 * idx, 2 * idx + 1]
-    S11 = S_full[2 * idx + 1, 2 * idx + 1] + R
+    if P.shape[0] != P.shape[1]:
+        from .sqrt_form import factor_innovation_blocks
+        b00, b01, b11 = factor_innovation_blocks(P, H)
+        S00, S01, S11 = b00 + R, b01, b11 + R
+    else:
+        HP = H @ P                       # (2F, D)
+        S_full = HP @ H.T                # (2F, 2F)
+        S00 = S_full[2 * idx, 2 * idx] + R
+        S01 = S_full[2 * idx, 2 * idx + 1]
+        S11 = S_full[2 * idx + 1, 2 * idx + 1] + R
     r0 = inn[2 * idx]
     r1 = inn[2 * idx + 1]
     det = S00 * S11 - S01 * S01
@@ -203,6 +210,17 @@ def joseph_update(P, H, inn, diagR, row_valid):
     return err, P_new
 
 
+def measurement_update(P, H, inn, diagR, feat_valid):
+    """Form-dispatching EKF update: Joseph on a dense covariance, factor
+    downdate on a square-root factor (filter/sqrt_form.py). feat_valid is
+    per 2-row feature block; returns (err, P_new) in the same form."""
+    if P.shape[0] != P.shape[1]:
+        from .sqrt_form import sqrt_update
+        return sqrt_update(P, H, inn, diagR,
+                           jnp.repeat(feat_valid, 2))
+    return joseph_update(P, H, inn, diagR, feat_valid)
+
+
 def absorb_error(cfg: VIOConfig, s: VIOState, err) -> VIOState:
     """Inject the error estimate into every nominal state.
 
@@ -270,7 +288,11 @@ def zero_state_entries(P, keep):
     """Zero rows+columns of P where keep==False (gauge fixing / slot free).
 
     The reference's covariance surgery (src/estimator.cpp:753-783,
-    1382-1389) expressed as one masked outer product.
+    1382-1389) expressed as one masked outer product. On a square-root
+    factor (rectangular) the surgery is one-sided: zeroing row i of S
+    zeroes row+column i of P = S S^T.
     """
     k = keep.astype(P.dtype)
+    if P.shape[0] != P.shape[1]:
+        return P * k[:, None]
     return P * (k[:, None] * k[None, :])

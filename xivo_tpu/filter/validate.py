@@ -26,6 +26,8 @@ def validate_state(cfg: VIOConfig, s: VIOState) -> list:
     f2row = np.asarray(s.f2row)
     g2row = np.asarray(s.g2row)
     P = np.asarray(s.P)
+    if P.shape[0] != P.shape[1]:   # sqrt form: reconstruct P = S S^T
+        P = P @ P.T
     d = cfg.dims
 
     # slot maps are inverse of sind

@@ -20,7 +20,6 @@ from ..ops.dense import HIGHEST
 from ..filter.features import predict_pixel
 from ..filter.pipeline import StepOutputs, update_step, _clear_feature_rows, \
     _rank_assign
-from ..filter.propagate import imu_sample_update, propagate_state
 from ..filter.state import (FS_CREATED, TS_CREATED, TS_DROPPED, TS_NONE,
                             TS_TRACKED, VIOState)
 from . import brief
@@ -315,19 +314,8 @@ def tracker_match(cfg: VIOConfig, s: VIOState, fes: FrontendState,
 def vio_frame_image(cfg: VIOConfig, s: VIOState, fes: FrontendState,
                     imu_gyro, imu_accel, imu_dt, frame_dt, image):
     """Image-mode frame step (the TUM-VI path): IMU scan + LK + filter."""
-    def imu_body(s, inp):
-        gy, ac, dt = inp
-        return imu_sample_update(cfg, s, gy, ac, dt), None
-
-    s, _ = jax.lax.scan(imu_body, s, (imu_gyro, imu_accel, imu_dt))
-    if cfg.online_temporal_calib:
-        dt_eff = jnp.maximum(frame_dt + s.X.td - s.td_applied, 0.0)
-        s = s._replace(td_applied=s.X.td.astype(s.td_applied.dtype))
-    else:
-        dt_eff = frame_dt
-    s = jax.lax.cond(dt_eff > 0,
-                     lambda s: propagate_state(cfg, s, dt_eff, True),
-                     lambda s: s, s)
+    from ..filter.pipeline import propagate_frame
+    s = propagate_frame(cfg, s, imu_gyro, imu_accel, imu_dt, frame_dt)
     track_fn = tracker_match if cfg.tracker_type.upper() == "MATCH" \
         else tracker_image
     s, fes = track_fn(cfg, s, fes, image)

@@ -13,26 +13,10 @@ import jax
 import jax.numpy as jnp
 
 from ..filter.config import VIOConfig
-from ..filter.pipeline import (tracker_pointcloud, update_step)
-from ..filter.propagate import imu_sample_update, propagate_state
+from ..filter.pipeline import (propagate_frame as _propagate_frame,
+                               tracker_pointcloud, update_step)
 from ..filter.state import TS_DROPPED, VIOState
 from .mapper import MapState, close_loop, retire_features
-
-
-def _propagate_frame(cfg, s, imu_gyro, imu_accel, imu_dt, frame_dt):
-    def imu_body(s, inp):
-        gy, ac, dt = inp
-        return imu_sample_update(cfg, s, gy, ac, dt), None
-
-    s, _ = jax.lax.scan(imu_body, s, (imu_gyro, imu_accel, imu_dt))
-    if cfg.online_temporal_calib:
-        dt_eff = jnp.maximum(frame_dt + s.X.td - s.td_applied, 0.0)
-        s = s._replace(td_applied=s.X.td.astype(s.td_applied.dtype))
-    else:
-        dt_eff = frame_dt
-    return jax.lax.cond(dt_eff > 0,
-                        lambda s: propagate_state(cfg, s, dt_eff, True),
-                        lambda s: s, s)
 
 
 def vio_frame_mapped(cfg: VIOConfig, s: VIOState, ms: MapState,

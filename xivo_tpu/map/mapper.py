@@ -137,7 +137,7 @@ def close_loop(cfg: VIOConfig, s: VIOState, ms: MapState,
     pose, so we take the Jacobians w.r.t. (Wsb, Tsb, Wbc, Tbc) directly —
     identical measurement model, well-defined slots.
     """
-    from ..filter.update import absorb_error, joseph_update
+    from ..filter.update import absorb_error, measurement_update
 
     F = cfg.dims.n_features
     D = cfg.dims.full
@@ -178,7 +178,7 @@ def close_loop(cfg: VIOConfig, s: VIOState, ms: MapState,
     H = H.reshape(2 * F, D)
     inn = inn.reshape(2 * F)
     diagR = jnp.full((2 * F,), cfg.Rlc, dtype)
-    err, P = joseph_update(s.P, H, inn, diagR, rv)
+    err, P = measurement_update(s.P, H, inn, diagR, rv)
     do = jnp.any(rv)
     err = jnp.where(do, err, 0.0)
     P = jnp.where(do, P, s.P)
