@@ -27,19 +27,35 @@ precision. The C slack columns are an intra-frame workspace:
 * ONE QR re-compression per frame (end of the frame step) squeezes the
   factor back into its first D columns and re-zeroes the slack.
 
-Measurement updates are factor DOWNDATES with closed-form 2x2 algebra,
-sequentially over 2-row blocks (exactly equivalent to the batched
-update for a fixed linearization): with V = H_i S, S_inn = V V^T + R,
-L = chol(S_inn), B = V^T L^-T, N = B^T B (2x2, eigenvalues in [0,1)),
+Measurement updates are ONE-SHOT factor downdates. With W = L^-1 H S
+(L = chol(H P H^T + R), m rows) the posterior is P+ = S(I - W^T W)S^T,
+and for ANY m x m factor Gam with Gam Gam^T = I - W W^T,
 
-    P+ = S (I - B B^T) S^T,   (I - B B^T)^{1/2} = I - B G B^T,
-    G = (I + sqrtm(I - N))^{-1}            [2x2 closed forms]
+    S+ = S - (S W^T) (I + Gam)^{-1} W
 
-so ``S <- S - (S B)(G B^T)`` — all MXU-shaped matmuls, no D x D x D
-products (cheaper than the Joseph form), and no matrix square roots
-beyond 2x2. Gauge fixing / slot removal (covariance surgery,
+is an exact factor of P+ (expand: J + J^T - J W W^T J^T = I for
+J = (I+Gam)^{-1} iff Gam Gam^T = I - W W^T). Crucially,
+Gam = L^-1 diag(sqrt(R)) is such a factor FOR FREE (Gam Gam^T =
+L^-1 R L^-T = I - W W^T algebraically), it is lower-triangular, so the
+whole update is one small Cholesky + two triangular solves + MXU
+matmuls — no eigendecomposition, no matrix square root, no LU inverse
+(all three measured catastrophically slow in XLA's TPU lowerings:
+eigh(60) ~ 38 ms, inv(60) ~ 4.5 ms, QR ~ 26 ms per frame-batch at
+B=256). A sequential per-block formulation is also out (HBM-bound:
+every 2-row step re-streams the whole factor).
+
+Gauge fixing / slot removal (covariance surgery,
 src/estimator.cpp:753-783, 1382-1389) is one-sided: zeroing ROWS of S
 zeroes the corresponding rows+columns of P.
+
+Re-compression is Gram + masked Cholesky (S_aug S_aug^T at float32
+precision, relative diagonal jitter, frozen/empty rows excluded), NOT
+QR: XLA's batched Householder QR runs its panel loop essentially
+serially on TPU (~23 ms/frame-batch at these shapes vs ~0.3 ms for
+Gram+chol). The jitter (1e-6 relative in f32) dominates the Gram
+rounding error, so the Cholesky cannot see a negative pivot — in
+particular the exactly-singular P right after a group clone (the new
+group's error row EQUALS the body-pose row) factors safely.
 """
 from __future__ import annotations
 
@@ -121,88 +137,70 @@ def factor_innovation_blocks(S: jnp.ndarray, H: jnp.ndarray):
     return blk[:, 0, 0], blk[:, 0, 1], blk[:, 1, 1]
 
 
-def _chol2x2(a, b, c, floor):
-    """Closed-form Cholesky of [[a, b], [b, c]] (a, c >= floor > 0)."""
-    l00 = jnp.sqrt(jnp.maximum(a, floor))
-    l10 = b / l00
-    l11 = jnp.sqrt(jnp.maximum(c - l10 * l10, floor))
-    return l00, l10, l11
-
-
-def _sqrtm2x2_psd(A):
-    """Principal square root of a 2x2 PSD matrix, closed form:
-    sqrt(A) = (A + sqrt(det A) I) / sqrt(tr A + 2 sqrt(det A))."""
-    det = jnp.maximum(A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0], 0.0)
-    sq = jnp.sqrt(det)
-    denom = jnp.sqrt(jnp.maximum(A[0, 0] + A[1, 1] + 2.0 * sq, 1e-30))
-    return (A + sq * jnp.eye(2, dtype=A.dtype)) / denom
-
-
-def _inv2x2(A):
-    det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
-    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
-    return jnp.array([[A[1, 1], -A[0, 1]], [-A[1, 0], A[0, 0]]],
-                     A.dtype) / det
-
-
 def sqrt_update(S: jnp.ndarray, H: jnp.ndarray, inn: jnp.ndarray,
                 diagR: jnp.ndarray, row_valid) -> Tuple[jnp.ndarray,
                                                         jnp.ndarray]:
     """Factor-form EKF update; drop-in for ``joseph_update`` semantics.
 
-    H: (2K, D) stacked rows, inn: (2K,), diagR: (2K,), row_valid: (2K,)
-    per-row mask (invalid rows contribute nothing). Processes the rows
-    as K sequential 2-row blocks — exactly equivalent to the batched
-    update for the fixed linearization H (information additivity), and
-    each block needs only closed-form 2x2 algebra.
+    H: (m, D) stacked rows, inn: (m,), diagR: (m,), row_valid: (m,)
+    per-row mask (invalid rows get zero H/inn and unit R, contributing
+    nothing). One-shot downdate (module docstring):
 
-    Returns (err (D,), S_new) with err the accumulated state correction
-    K @ inn of the joint update.
+        W  = L^-1 (H S),  L = chol(H P H^T + R)
+        S+ = S - (S W^T) (G W),  G = (I + sqrtm(I - W W^T))^{-1}
+        err = (S W^T) (L^-1 inn)
+
+    Exact for the fixed linearization; the m x m symmetric square root
+    comes from one eigendecomposition (eig(W W^T) in [0, 1) since
+    R > 0, so I - W W^T is PD).
+
+    Returns (err (D,), S_new).
     """
     dtype = S.dtype
-    D = H.shape[1]
-    if H.shape[0] % 2:  # odd row count: pad one inert row
-        H = jnp.concatenate([H, jnp.zeros((1, D), dtype)])
-        inn = jnp.concatenate([inn, jnp.zeros((1,), dtype)])
-        diagR = jnp.concatenate([diagR, jnp.ones((1,), dtype)])
-        row_valid = jnp.concatenate([row_valid, jnp.zeros((1,), bool)])
-    K = H.shape[0] // 2
+    m = H.shape[0]
     rv = row_valid.astype(dtype)
-    Hm = (H * rv[:, None]).reshape(K, 2, D)
-    innm = (inn * rv).reshape(K, 2)
-    Rm = jnp.where(row_valid, diagR, jnp.ones((), dtype)).reshape(K, 2)
-    floor = jnp.asarray(1e-20, dtype)
+    Hm = H * rv[:, None]
+    innm = inn * rv
+    Rm = jnp.where(row_valid, diagR, jnp.ones((), dtype))
 
-    def step(carry, blk):
-        S, delta = carry
-        Hi, ri, Ri = blk
-        V = jnp.matmul(Hi, S[:D], precision=HIGHEST)      # (2, Dc)
-        a = V[0] @ V[0] + Ri[0]
-        b = V[0] @ V[1]
-        c = V[1] @ V[1] + Ri[1]
-        l00, l10, l11 = _chol2x2(a, b, c, floor)
-        # innovation re-referenced to the already-applied corrections
-        r = ri - Hi @ delta
-        # W = L^-1 V  (forward substitution, 2 rows)
-        w0 = V[0] / l00
-        w1 = (V[1] - l10 * w0) / l11
-        # mean: delta += S V^T Sinn^-1 r  = S (W^T (L^-1 r))
-        y0 = r[0] / l00
-        y1 = (r[1] - l10 * y0) / l11
-        delta = delta + jnp.matmul(S, w0 * y0 + w1 * y1,
-                                   precision=HIGHEST)
-        # covariance downdate: B = W^T, N = W W^T
-        N = jnp.array([[w0 @ w0, w0 @ w1], [w0 @ w1, w1 @ w1]], dtype)
-        A = jnp.eye(2, dtype=dtype) - N
-        G = _inv2x2(jnp.eye(2, dtype=dtype) + _sqrtm2x2_psd(A))
-        W = jnp.stack([w0, w1])                            # (2, Dc)
-        SB = jnp.matmul(S, W.T, precision=HIGHEST)         # (D, 2)
-        S = S - jnp.matmul(SB, G @ W, precision=HIGHEST)
-        return (S, delta), None
+    V = jnp.matmul(Hm, S, precision=HIGHEST)               # (m, Dc)
+    Sinn = jnp.matmul(V, V.T, precision=HIGHEST) + jnp.diag(Rm)
+    Lc = jnp.linalg.cholesky(Sinn)
+    # one triangular solve for [V | inn | diag(sqrt(R))] together
+    rhs = jnp.concatenate(
+        [V, innm[:, None], jnp.diag(jnp.sqrt(Rm))], axis=1)
+    sol = jax.scipy.linalg.solve_triangular(Lc, rhs, lower=True)
+    W = sol[:, :V.shape[1]]                                # L^-1 V
+    y = sol[:, V.shape[1]]                                 # L^-1 inn
+    Gam = sol[:, V.shape[1] + 1:]                          # L^-1 R^(1/2)
+    SWt = jnp.matmul(S, W.T, precision=HIGHEST)            # (D, m)
+    err = SWt @ y
+    # Z = (I + Gam)^-1 W  (Gam lower-triangular with positive diagonal)
+    Z = jax.scipy.linalg.solve_triangular(
+        jnp.eye(m, dtype=dtype) + Gam, W, lower=True)
+    S = S - jnp.matmul(SWt, Z, precision=HIGHEST)
+    return err, S
 
-    (S, delta), _ = jax.lax.scan(
-        step, (S, jnp.zeros((S.shape[0],), dtype)), (Hm, innm, Rm))
-    return delta, S
+
+def chol_unrolled(A: jnp.ndarray, floor) -> jnp.ndarray:
+    """Straight-line Cholesky for SMALL static n: n unrolled column
+    steps of vectorized outer-product updates. XLA's lax.linalg lowering
+    pays a while-loop + dynamic-slice tax that dwarfs the math at these
+    sizes (a batched 3x3 cholesky measured ~2 ms/frame-batch on v5e);
+    the unrolled form fuses to straight-line VPU code. A (..., n, n)
+    PSD (callers add a diagonal jitter >= floor); pivots clamp at floor
+    so junk directions factor safely instead of NaN-ing."""
+    n = A.shape[-1]
+    idx = jnp.arange(n)
+    cols = []
+    X = A
+    for j in range(n):
+        pivot = jnp.sqrt(jnp.maximum(X[..., j, j], floor))
+        col = X[..., :, j] / pivot[..., None]
+        col = col * (idx >= j)
+        cols.append(col)
+        X = X - col[..., :, None] * col[..., None, :]
+    return jnp.stack(cols, axis=-1)
 
 
 def noise_rows(cfg) -> tuple:
@@ -235,7 +233,7 @@ def noise_factor(cfg, Qd: jnp.ndarray) -> jnp.ndarray:
     sub = Qd[np.ix_(rows, rows)]
     rel = 1e-12 if dtype == jnp.float64 else 1e-6
     eps = rel * jnp.trace(sub) / k + jnp.asarray(1e-30, dtype)
-    Ls = jnp.linalg.cholesky(sub + eps * jnp.eye(k, dtype=dtype))
+    Ls = chol_unrolled(sub + eps * jnp.eye(k, dtype=dtype), eps * 0.5)
     Lq = jnp.zeros((L.MOTION, L.MOTION), dtype)
     return Lq.at[np.ix_(rows, rows)].set(Ls)
 
@@ -257,11 +255,24 @@ def factor_propagate(cfg, S: jnp.ndarray, Phi: jnp.ndarray,
 
 
 def factor_recompress(S: jnp.ndarray, D: int) -> jnp.ndarray:
-    """End-of-frame re-compression: one QR squeezes the (D, D+C) factor
-    into D lower-triangular columns and re-zeroes the slack workspace.
-    Rounding in QR is benign at any conditioning (no Gram squaring)."""
-    R = jnp.linalg.qr(S.T, mode="r")              # (D, D) upper
-    return jnp.pad(R.T, ((0, 0), (0, S.shape[1] - D)))
+    """End-of-frame re-compression: squeeze the (D, D+C) factor into D
+    lower-triangular columns and re-zero the slack workspace.
+
+    Gram + masked Cholesky (module docstring: XLA's batched QR is ~70x
+    slower at these shapes). Empty/frozen/gauge rows are EXACT zeros in
+    S by construction; they get a unit pivot for the factorization and
+    are re-zeroed after. The relative diagonal jitter dominates the
+    float32 Gram rounding so pivots stay positive even for exact clones
+    (rows of S duplicated by group admission).
+    """
+    dtype = S.dtype
+    G = jnp.matmul(S, S.T, precision=HIGHEST)
+    rel = 1e-12 if dtype == jnp.float64 else 1e-6
+    eye = jnp.eye(D, dtype=dtype)
+    Gj = G + (rel * jnp.diagonal(G)) * eye
+    from ..ops.chol_pallas import cholesky_psd
+    Lc = cholesky_psd(Gj)
+    return jnp.pad(Lc, ((0, 0), (0, S.shape[1] - D)))
 
 
 def feature_band(dims, slot_index):
@@ -272,8 +283,8 @@ def feature_band(dims, slot_index):
 
 def chol3x3(P3):
     """Batched 3x3 Cholesky with relative jitter (subfilter covariances
-    are PD up to rounding)."""
+    are PD up to rounding). Unrolled — see chol_unrolled."""
     rel = 1e-14 if P3.dtype == jnp.float64 else 1e-7
     tr = jnp.trace(P3, axis1=-2, axis2=-1)[..., None, None] / 3.0
     eye = jnp.eye(3, dtype=P3.dtype)
-    return jnp.linalg.cholesky(P3 + (rel * tr + 1e-30) * eye)
+    return chol_unrolled(P3 + (rel * tr + 1e-30) * eye, 1e-30)
