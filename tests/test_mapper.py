@@ -143,3 +143,55 @@ def test_close_loop_with_sharded_retrieval_matches():
     assert int(n8) == int(n1)
     np.testing.assert_allclose(np.asarray(s8.X.Tsb), np.asarray(s1.X.Tsb),
                                atol=1e-9)
+
+
+def test_map_fusion_on_reretire():
+    """Merge-on-retirement parity (Feature::Merge, src/feature.cpp:
+    187-208): a landmark retired twice FUSES — the map count stays
+    flat and its variance shrinks — instead of duplicating in the
+    ring (src/mapper.cpp:158-222)."""
+    rng = np.random.default_rng(3)
+    ms = init_map(capacity=64)
+    Xs = jnp.asarray(rng.uniform(-2, 2, (6, 3)), jnp.float32)
+    desc = jnp.asarray(rng.integers(0, 2 ** 32, (6, 8)), jnp.uint32)
+    cov = jnp.tile(0.2 * jnp.eye(3, dtype=jnp.float32), (6, 1, 1))
+    ms = map_insert(ms, Xs, desc, jnp.ones(6, bool), cov=cov,
+                    nn_dist_thresh=30)
+    assert int(ms.count) == 6
+
+    # re-retire the same landmarks, slightly moved, same descriptors
+    Xs2 = Xs + jnp.asarray(rng.normal(0, 0.05, (6, 3)), jnp.float32)
+    ms2 = map_insert(ms, Xs2, desc, jnp.ones(6, bool), cov=cov,
+                     nn_dist_thresh=30)
+    assert int(ms2.count) == 6              # count stays flat
+    assert int(ms2.n_merged) == 6
+    assert int(ms2.valid.sum()) == 6
+    # covariance-weighted fusion halves the variance (equal weights)
+    tr0 = float(jnp.trace(ms.cov[0]))
+    tr1 = float(jnp.trace(ms2.cov[0]))
+    assert tr1 < 0.6 * tr0, (tr0, tr1)
+    # fused position lands between the two observations
+    mid = 0.5 * (Xs[0] + Xs2[0])
+    assert float(jnp.linalg.norm(ms2.Xs[0] - mid)) < 1e-5
+
+    # a genuinely NEW landmark (different descriptor) still ring-inserts
+    nd = jnp.asarray(rng.integers(0, 2 ** 32, (1, 8)), jnp.uint32)
+    ms3 = map_insert(ms2, Xs[:1] + 5.0, nd, jnp.ones(1, bool),
+                     cov=cov[:1], nn_dist_thresh=30)
+    assert int(ms3.count) == 7
+
+
+def test_map_fusion_respects_radius():
+    """Same descriptor but a FAR position must not fuse (distinct
+    landmark with an aliasing descriptor)."""
+    rng = np.random.default_rng(4)
+    ms = init_map(capacity=32)
+    Xs = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    desc = jnp.asarray(rng.integers(0, 2 ** 32, (1, 8)), jnp.uint32)
+    cov = jnp.tile(0.1 * jnp.eye(3, dtype=jnp.float32), (1, 1, 1))
+    ms = map_insert(ms, Xs, desc, jnp.ones(1, bool), cov=cov,
+                    nn_dist_thresh=30)
+    ms2 = map_insert(ms, Xs + 10.0, desc, jnp.ones(1, bool), cov=cov,
+                     nn_dist_thresh=30, merge_radius=0.5)
+    assert int(ms2.count) == 2
+    assert int(ms2.n_merged) == 0

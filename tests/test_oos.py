@@ -28,3 +28,53 @@ def test_oos_update_runs_and_tracks():
     rmse = np.sqrt(np.mean(err ** 2))
     assert np.isfinite(np.asarray(s.P)).all()
     assert rmse < 0.12, rmse
+
+
+def _churn_scenario(**overrides):
+    """Narrow-FoV camera + rotation-rich motion + tiny EKF window:
+    tracks sweep out of view fast, most die before admission, carrying
+    multi-view geometry only the MSCKF update can harvest."""
+    from xivo_tpu.filter.layout import Dims
+    from xivo_tpu.filter.state import init_state
+    from xivo_tpu.runner import make_sequence_runner
+    from xivo_tpu.sim.stream import build_pcw_stream
+
+    dims = Dims(n_groups=8, n_features=6, ng_rows=64, nf_rows=128)
+    base = dict(PCW_CFG)
+    base["camera_cfg"] = {"model": "pinhole", "rows": 200, "cols": 200,
+                          "fx": 275, "fy": 275, "cx": 100, "cy": 100}
+    base["tracker_cfg"] = dict(PCW_CFG["tracker_cfg"],
+                               num_features_max=48)
+    cfg = config_from_json(base, dtype="float64", dims=dims,
+                           sim_initialize_depths=True,
+                           OOS_min_observations=3,
+                           max_group_lifetime=200, **overrides)
+    fi, gt = build_pcw_stream(cfg, total_time=6.0, noise_px=0.5, seed=5,
+                              motion="calib_rich", n_points=900)
+    s = init_state(cfg)
+    s = s._replace(last_gyro=jnp.asarray(gt["gyro0"]),
+                   last_accel=jnp.asarray(gt["accel0"]))
+    s, outs = make_sequence_runner(cfg)(s, fi)
+    err = np.linalg.norm(np.asarray(outs.Tsb) - gt["Tsb"], axis=1)
+    return float(np.sqrt((err ** 2).mean())), outs
+
+
+def test_oos_ab_improves_ate_under_churn():
+    """A/B: under heavy feature churn the MSCKF harvest (use_OOS +
+    pose cloning) measurably improves ATE over discarding the dying
+    tracks' information. This is the quantified benefit the reference
+    never ships (use_OOS hard-faults, src/estimator.cpp:120-122).
+    Measured here: ~9x (1.11 m -> 0.12 m over 6 s)."""
+    rmse_off, _ = _churn_scenario(use_OOS=False)
+    rmse_on, outs_on = _churn_scenario(use_OOS=True)
+    assert np.isfinite(rmse_on)
+    assert rmse_on < 0.5 * rmse_off, (rmse_on, rmse_off)
+    # the default cap is adequate in this regime — no silent truncation
+    assert int(np.asarray(outs_on.num_oos_dropped).sum()) == 0
+
+
+def test_oos_cap_overflow_is_reported():
+    """The static oos_feature_cap must not truncate silently: candidates
+    beyond the cap surface in StepOutputs.num_oos_dropped."""
+    _, outs = _churn_scenario(use_OOS=True, oos_feature_cap=1)
+    assert int(np.asarray(outs.num_oos_dropped).max()) > 0

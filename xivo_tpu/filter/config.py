@@ -181,6 +181,19 @@ class VIOConfig:
     # OOS / MSCKF (gated off in the reference; first-class here)
     use_OOS: bool = False
     OOS_min_observations: int = 5
+    # static per-frame budget of OOS features (the update needs a fixed
+    # shape). Candidates are ranked by observation count (most-informed
+    # first); overflow beyond the cap is NOT silent — StepOutputs
+    # reports num_oos_dropped per frame. Size it so drops are rare for
+    # your churn rate: candidates are features dying in ONE frame with
+    # >= OOS_min_observations instate observations.
+    oos_feature_cap: int = 8
+    # MSCKF-style pose cloning: every frame's group joins the EKF
+    # window (oldest featureless clone marginalized when full). Always
+    # on with use_OOS — without clones no feature can accumulate
+    # OOS_min_observations instate observations and the OOS update is a
+    # permanent no-op. Available separately for sliding-window studies.
+    clone_frame_groups: bool = False
     # QR measurement compression when a stacked update has more rows
     # than error-state columns (the reference's present-but-unused
     # use_compression, src/helpers.cpp:77-101)
@@ -194,6 +207,11 @@ class VIOConfig:
     lc_nn_dist_thresh: int = 30
     lc_ransac_thresh: float = 0.03
     lc_min_matches: int = 5
+    # merge-on-retirement landmark fusion (Feature::Merge parity,
+    # src/feature.cpp:187-208 + src/mapper.cpp:158-222): a re-retired
+    # landmark fuses into its map match instead of duplicating
+    map_merge_on_retire: bool = True
+    map_merge_radius: float = 0.5
 
     # IMU clamp
     clamp_signals: bool = False
@@ -308,6 +326,19 @@ def _vec(j, key, default=None):
     return tuple(v) if isinstance(v, (list, tuple)) else v
 
 
+def _rotvec(j, key):
+    """Rotation config entry: tangent 3-vector OR a full 3x3 rotation
+    matrix (the reference's TUM-VI configs give Wbc as a matrix,
+    cfg/tumvi_cam0.json:60-63; parsed either way by GetVectorFromJson /
+    the Estimator ctor)."""
+    v = j.get(key, (0.0, 0.0, 0.0))
+    a = np.asarray(v, dtype=np.float64)
+    if a.shape == (3, 3):
+        from ..geom import so3
+        return tuple(np.asarray(so3.log(a)).tolist())
+    return tuple(a.reshape(-1)[:3])
+
+
 def config_from_json(cfg: dict, dims: Optional[Dims] = None,
                      **overrides) -> VIOConfig:
     """Build a VIOConfig from a reference-format JSON dict.
@@ -342,7 +373,12 @@ def config_from_json(cfg: dict, dims: Optional[Dims] = None,
         cam_extra = [cam.get("p1", 0.0), cam.get("p2", 0.0), cam.get("k1", 0.0),
                      cam.get("k2", 0.0), cam.get("k3", 0.0)]
     elif model in ("equi", "equidistant"):
-        cam_extra = [cam.get(k, 0.0) for k in ("k0", "k1", "k2", "k3")]
+        # the reference's TUM-VI configs write the distortion as a
+        # "k0123" list (cfg/tumvi_cam0.json:191); flat k0..k3 also valid
+        if "k0123" in cam:
+            cam_extra = list(cam["k0123"])[:4]
+        else:
+            cam_extra = [cam.get(k, 0.0) for k in ("k0", "k1", "k2", "k3")]
     elif model == "atan":
         cam_extra = [cam.get("w", 0.0)]
 
@@ -421,9 +457,9 @@ def config_from_json(cfg: dict, dims: Optional[Dims] = None,
         gravity_init_counter=cfg.get("gravity_init_counter", 20),
         imu_tk_convention=cfg.get("imu_tk_convention", False),
         simulation=cfg.get("simulation", False),
-        X_Wsb=_vec(X, "Wsb", (0.0,) * 3), X_Tsb=_vec(X, "Tsb", (0.0,) * 3),
+        X_Wsb=_rotvec(X, "Wsb"), X_Tsb=_vec(X, "Tsb", (0.0,) * 3),
         X_Vsb=_vec(X, "Vsb", (0.0,) * 3), X_bg=_vec(X, "bg", (0.0,) * 3),
-        X_ba=_vec(X, "ba", (0.0,) * 3), X_Wbc=_vec(X, "Wbc", (0.0,) * 3),
+        X_ba=_vec(X, "ba", (0.0,) * 3), X_Wbc=_rotvec(X, "Wbc"),
         X_Tbc=_vec(X, "Tbc", (0.0,) * 3),
         X_Wsg=tuple(X.get("Wsg", (0.0, 0.0))[:2]),
         X_td=X.get("td", 0.0),

@@ -29,8 +29,6 @@ from .config import VIOConfig
 from .features import project_persp, unproject_logz
 from .state import VIOState
 
-OOS_FEATURE_CAP = 8   # max dropped features per frame given an OOS update
-
 
 def _oos_rows_for_feature(cfg: VIOConfig, s: VIOState, row):
     """Build nullspace-projected OOS rows for one feature table row.
@@ -120,11 +118,18 @@ def _oos_rows_for_feature(cfg: VIOConfig, s: VIOState, row):
             jnp.concatenate([valid, jnp.zeros((3,), bool)]))
 
 
-def oos_update(cfg: VIOConfig, s: VIOState, candidate_rows) -> VIOState:
-    """Joint MSCKF update over up to OOS_FEATURE_CAP candidate features."""
-    from .update import joseph_update
+def oos_update(cfg: VIOConfig, s: VIOState, candidate_rows):
+    """Joint MSCKF update over the frame's dying features.
+
+    The per-frame feature budget is cfg.oos_feature_cap (static shape);
+    candidates rank by instate-observation count so the MOST-informed
+    features always make the update. Returns (state, n_dropped) where
+    n_dropped counts candidates beyond the cap this frame (surfaced in
+    StepOutputs.num_oos_dropped — no silent truncation).
+    """
     from .pipeline import _rank_assign  # shared slot-assignment helper
 
+    CAP = cfg.oos_feature_cap
     d = cfg.dims
     fr, gr = s.features, s.groups
     NF = fr.fid.shape[0]
@@ -133,14 +138,15 @@ def oos_update(cfg: VIOConfig, s: VIOState, candidate_rows) -> VIOState:
     obs_in_state = fr.adj & gr.instate[None, :]
     nobs = jnp.sum(obs_in_state, axis=1)
     cand = candidate_rows & (nobs >= cfg.OOS_min_observations)
+    n_dropped = jnp.maximum(
+        jnp.sum(cand.astype(jnp.int32)) - CAP, 0)
 
     slot_of_row, got = _rank_assign(
-        jnp.ones((OOS_FEATURE_CAP,), bool), cand,
+        jnp.ones((CAP,), bool), cand,
         -nobs.astype(s.P.dtype))
     # row chosen for each OOS slot (one-hot, no traced-index scatter)
-    tgt = jnp.where(got, slot_of_row, OOS_FEATURE_CAP)
-    oh = tgt[:, None] == jnp.arange(OOS_FEATURE_CAP,
-                                    dtype=jnp.int32)[None, :]   # (NF, CAP)
+    tgt = jnp.where(got, slot_of_row, CAP)
+    oh = tgt[:, None] == jnp.arange(CAP, dtype=jnp.int32)[None, :]
     hit = jnp.any(oh, axis=0)
     ridx = jnp.sum(oh * jnp.arange(NF, dtype=jnp.int32)[:, None], axis=0,
                    dtype=jnp.int32)
@@ -153,7 +159,7 @@ def oos_update(cfg: VIOConfig, s: VIOState, candidate_rows) -> VIOState:
 
     Ho, inn_o, valid = jax.vmap(one)(row_of_slot)
     R2G = Ho.shape[1]
-    Ho = Ho.reshape(OOS_FEATURE_CAP * R2G, d.full)
+    Ho = Ho.reshape(CAP * R2G, d.full)
     inn_o = inn_o.reshape(-1)
     valid = valid.reshape(-1)
 
@@ -200,4 +206,4 @@ def oos_update(cfg: VIOConfig, s: VIOState, candidate_rows) -> VIOState:
     err = jnp.where(do, err, 0.0)
     P = jnp.where(do, P, s.P)
     s = s._replace(P=P)
-    return absorb_error(cfg, s, err)
+    return absorb_error(cfg, s, err), n_dropped

@@ -286,9 +286,10 @@ def _process_tracks(cfg: VIOConfig, s: VIOState):
     # 1b) MSCKF/OOS update: never-instate features leaving the tracker
     # spend their multi-view information before destruction (first-class
     # version of the reference's gated-off use_OOS, src/oos.cpp)
+    n_oos_dropped = jnp.zeros((), jnp.int32)
     if cfg.use_OOS:
         from .oos import oos_update
-        s = oos_update(cfg, s, dropped & ~instate)
+        s, n_oos_dropped = oos_update(cfg, s, dropped & ~instate)
 
     # 2) all dropped rows leave the table
     s = s._replace(features=_clear_feature_rows(s.features, dropped))
@@ -357,7 +358,7 @@ def _process_tracks(cfg: VIOConfig, s: VIOState):
     # 3b) subfilter outlier eviction
     evict = sub & (fr.outlier_counter > cfg.remove_outlier_counter)
     fr = _clear_feature_rows(fr, evict)
-    return s._replace(features=fr), affected
+    return s._replace(features=fr), affected, n_oos_dropped
 
 
 def _add_feature_blocks(cfg: VIOConfig, P, fr: FeatureTable, new_slot_mask,
@@ -892,7 +893,76 @@ def _create_group_and_init_tracks(cfg: VIOConfig, s: VIOState) -> VIOState:
         adj=fr.adj.at[:, row].set(obs),
         adj_xp=fr.adj_xp.at[:, row, :].set(fr.xp))
 
-    return s._replace(features=fr, groups=gr, next_gid=s.next_gid + 1)
+    s = s._replace(features=fr, groups=gr, next_gid=s.next_gid + 1)
+    if cfg.use_OOS or cfg.clone_frame_groups:
+        s = _clone_group_into_state(cfg, s, row)
+    return s
+
+
+def _clone_group_into_state(cfg: VIOConfig, s: VIOState, row) -> VIOState:
+    """MSCKF-style pose cloning: the fresh frame group joins the EKF
+    window even WITHOUT admitted features.
+
+    Without this, groups only become instate through feature admission,
+    the window holds 1-2 anchor groups, and no feature ever accumulates
+    OOS_min_observations instate observations — the OOS update would be
+    a permanent no-op (which is effectively the reference's shipped
+    behavior: use_OOS hard-faults, src/estimator.cpp:120-122). With
+    cloning, never-instate features see a sliding window of recent
+    poses — the classic MSCKF state layout. When the window is full the
+    OLDEST instate group anchoring no instate feature (a pure clone) is
+    marginalized.
+    """
+    gr, fr = s.groups, s.features
+    G = cfg.dims.n_groups
+    NG = gr.gid.shape[0]
+
+    # evict the oldest featureless instate group if no slot is free
+    grow_of_slot = jnp.clip(s.g2row, 0, NG - 1)
+    inst_f = fr.sind >= 0
+    anchors = jnp.any(
+        inst_f[:, None] & (fr.ref[:, None] == jnp.arange(NG)[None, :]),
+        axis=0)                                            # (NG,)
+    occupied = s.g2row >= 0
+    slot_anchor = _oh_take(anchors, grow_of_slot, NG) & occupied
+    slot_gid = _oh_take(gr.gid, grow_of_slot, NG)
+    evictable = occupied & ~slot_anchor
+    big = jnp.iinfo(jnp.int32).max
+    evict_slot = jnp.argmin(jnp.where(evictable, slot_gid, big))
+    need_evict = ~jnp.any(~occupied) & jnp.any(evictable)
+    evict_rows = (jnp.arange(NG)
+                  == jnp.where(need_evict,
+                               grow_of_slot[evict_slot], NG))
+    s = jax.lax.cond(need_evict,
+                     lambda s: _remove_groups_from_state(cfg, s,
+                                                         evict_rows),
+                     lambda s: s, s)
+
+    # assign a free slot (if any) and clone the body-pose covariance
+    free = s.g2row < 0
+    can = jnp.any(free)
+    slot = jnp.argmax(free).astype(jnp.int32)
+    gr = s.groups
+    gr = gr._replace(sind=gr.sind.at[jnp.where(can, row, NG)].set(slot))
+    g2row = s.g2row.at[jnp.where(can, slot, G)].set(row)
+    new_slot_mask = (jnp.arange(G) == slot) & can
+    # covariance init = copy of the current (Wsb, Tsb) error rows
+    # (AddGroupToState, src/estimator.cpp:786-824); factor form needs
+    # rows only
+    gb, ge = L.GROUP_BEGIN, L.GROUP_BEGIN + 6 * G
+    sel = jnp.repeat(new_slot_mask, 6)
+    P = s.P
+    src_rows = jnp.tile(jnp.concatenate(
+        [P[L.WSB:L.WSB + 3], P[L.TSB:L.TSB + 3]], axis=0), (G, 1))
+    grows = jnp.where(sel[:, None], src_rows, P[gb:ge])
+    P = jnp.concatenate([P[:gb], grows, P[ge:]], axis=0)
+    if cfg.covariance_form != "sqrt":
+        src_cols = jnp.tile(jnp.concatenate(
+            [P[:, L.WSB:L.WSB + 3], P[:, L.TSB:L.TSB + 3]], axis=1),
+            (1, G))
+        gcols = jnp.where(sel[None, :], src_cols, P[:, gb:ge])
+        P = jnp.concatenate([P[:, :gb], gcols, P[:, ge:]], axis=1)
+    return s._replace(groups=gr, g2row=g2row, P=P)
 
 
 def _adapt_initial_depth(cfg: VIOConfig, s: VIOState) -> VIOState:
@@ -924,6 +994,9 @@ class StepOutputs(NamedTuple):
     num_tracked: jnp.ndarray
     num_mh_rejected: jnp.ndarray
     inn_rms: jnp.ndarray
+    # OOS candidates beyond cfg.oos_feature_cap this frame (0 when
+    # use_OOS is off) — the no-silent-caps diagnostic
+    num_oos_dropped: jnp.ndarray
 
 
 def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
@@ -948,7 +1021,7 @@ def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
 
 def _update_step_impl(cfg: VIOConfig, s: VIOState
                       ) -> Tuple[VIOState, StepOutputs]:
-    s, affected = _process_tracks(cfg, s)
+    s, affected, n_oos_dropped = _process_tracks(cfg, s)
 
     # admission
     if cfg.use_depth_opt:
@@ -1064,7 +1137,8 @@ def _update_step_impl(cfg: VIOConfig, s: VIOState
         num_instate_groups=jnp.sum((s.g2row >= 0).astype(jnp.int32)),
         num_tracked=jnp.sum((s.features.track == TS_TRACKED)
                             .astype(jnp.int32)),
-        num_mh_rejected=num_rej, inn_rms=inn_rms)
+        num_mh_rejected=num_rej, inn_rms=inn_rms,
+        num_oos_dropped=n_oos_dropped)
     return s, out
 
 

@@ -203,5 +203,13 @@ def as_mapstate(bm: BigMapState):
     """View the landmark tables as a plain MapState for the loop-closure
     path (map/mapper.py works unchanged on the refined landmarks)."""
     from .mapper import MapState
-    return MapState(Xs=bm.Xs, desc=bm.desc, valid=bm.valid,
-                    write_ptr=bm.write_ptr, count=bm.count)
+    M = bm.Xs.shape[0]
+    dt = bm.Xs.dtype
+    return MapState(
+        Xs=bm.Xs, desc=bm.desc, valid=bm.valid,
+        # BA-refined landmarks carry no covariance table; a small
+        # isotropic prior keeps the LC R inflation well-defined
+        cov=jnp.tile(0.01 * jnp.eye(3, dtype=dt), (M, 1, 1)),
+        gid=jnp.full((M,), -1, jnp.int32),
+        write_ptr=bm.write_ptr, count=bm.count,
+        n_merged=jnp.asarray(0, jnp.int32))

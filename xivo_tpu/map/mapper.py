@@ -33,34 +33,96 @@ from .p3p import pnp_ransac
 
 class MapState(NamedTuple):
     Xs: jnp.ndarray        # (M,3) landmark positions (spatial frame)
+    cov: jnp.ndarray       # (M,3,3) landmark position covariance
     desc: jnp.ndarray      # (M,8) uint32 BRIEF
+    gid: jnp.ndarray       # (M,) int32 anchor group id at retirement
     valid: jnp.ndarray     # (M,)
     write_ptr: jnp.ndarray  # () int32 ring pointer
     count: jnp.ndarray      # () int32 total inserted (diagnostic)
+    n_merged: jnp.ndarray   # () int32 fusion events (diagnostic)
 
 
 def init_map(capacity: int = 20000, dtype=jnp.float32) -> MapState:
     return MapState(
         Xs=jnp.zeros((capacity, 3), dtype),
+        cov=jnp.zeros((capacity, 3, 3), dtype),
         desc=jnp.zeros((capacity, 8), jnp.uint32),
+        gid=jnp.full((capacity,), -1, jnp.int32),
         valid=jnp.zeros((capacity,), bool),
         write_ptr=jnp.asarray(0, jnp.int32),
-        count=jnp.asarray(0, jnp.int32))
+        count=jnp.asarray(0, jnp.int32),
+        n_merged=jnp.asarray(0, jnp.int32))
 
 
-def map_insert(ms: MapState, Xs, desc, valid) -> MapState:
-    """Ring-buffer insert of a batch of retired landmarks.
+def _inv3(A):
+    """Closed-form 3x3 inverse (adjugate/det) — batched, no LU."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co = jnp.stack([
+        jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], -1),
+        jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], -1),
+        jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], -1)],
+        axis=-2)
+    det = a * co[..., 0, 0] + b * co[..., 1, 0] + c * co[..., 2, 0]
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    return co / det[..., None, None]
 
-    (Mapper::AddFeature retirement path, src/mapper.cpp:158-240; merge-
-    on-retire is folded into the LC update rather than explicit fusion.)
+
+def map_insert(ms: MapState, Xs, desc, valid, cov=None, gid=None,
+               nn_dist_thresh: int = -1,
+               merge_radius: float = 0.5) -> MapState:
+    """Insert a batch of retired landmarks, FUSING re-retired ones.
+
+    Merge-on-retirement parity (src/mapper.cpp:158-222 +
+    Feature::Merge, src/feature.cpp:187-208): a new landmark whose
+    descriptor matches an existing map entry (Hamming < nn_dist_thresh)
+    within merge_radius meters is covariance-weighted fused into it —
+    the map entry count stays flat and its variance SHRINKS — instead
+    of duplicating in the ring. nn_dist_thresh < 0 disables fusion
+    (plain ring insert).
     """
     M = ms.Xs.shape[0]
-    n = valid.shape[0]
+    dtype = ms.Xs.dtype
+    Xs = Xs.astype(dtype)
+    if cov is None:
+        # legacy/exact-landmark callers: zero covariance = flat Rlc in
+        # close_loop and first-observation-wins fusion
+        cov = jnp.zeros((Xs.shape[0], 3, 3), dtype)
+    cov = cov.astype(dtype)
+    if gid is None:
+        gid = jnp.full((Xs.shape[0],), -1, jnp.int32)
+
+    if nn_dist_thresh >= 0:
+        D = brief.hamming_matrix(desc, ms.desc)               # (n, M)
+        D = jnp.where(ms.valid[None, :], D, 10_000)
+        nn = jnp.argmin(D, axis=1)
+        nnc = jnp.clip(nn, 0, M - 1)
+        nnd = jnp.min(D, axis=1)
+        close = jnp.linalg.norm(Xs - ms.Xs[nnc], axis=1) < merge_radius
+        merge = valid & (nnd < nn_dist_thresh) & close
+        # covariance-weighted fusion: x+ = x1 + P1 (P1+P2)^-1 (x2 - x1),
+        # P+ = P1 - P1 (P1+P2)^-1 P1  (information-form fusion without
+        # inverting the individual covariances)
+        P1 = ms.cov[nnc]
+        K = jnp.einsum("nij,njk->nik", P1, _inv3(P1 + cov))
+        x_f = ms.Xs[nnc] + jnp.einsum("nij,nj->ni", K, Xs - ms.Xs[nnc])
+        P_f = P1 - jnp.einsum("nij,njk->nik", K, P1)
+        tgt_m = jnp.where(merge, nnc, M)                      # trash drop
+        ms = ms._replace(
+            Xs=ms.Xs.at[tgt_m].set(x_f),
+            cov=ms.cov.at[tgt_m].set(P_f),
+            desc=ms.desc.at[tgt_m].set(desc),   # freshest view wins
+            n_merged=ms.n_merged + jnp.sum(merge.astype(jnp.int32)))
+        valid = valid & ~merge
+
     rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
     tgt = jnp.where(valid, (ms.write_ptr + rank) % M, M)
     return ms._replace(
-        Xs=ms.Xs.at[tgt].set(Xs.astype(ms.Xs.dtype)),
+        Xs=ms.Xs.at[tgt].set(Xs),
+        cov=ms.cov.at[tgt].set(cov),
         desc=ms.desc.at[tgt].set(desc),
+        gid=ms.gid.at[tgt].set(gid),
         valid=ms.valid.at[tgt].set(True),
         write_ptr=(ms.write_ptr + jnp.sum(valid.astype(jnp.int32))) % M,
         count=ms.count + jnp.sum(valid.astype(jnp.int32)))
@@ -135,15 +197,27 @@ def close_loop(cfg: VIOConfig, s: VIOState, ms: MapState,
     The reference anchors LC rows at the newest group's slot
     (src/update.cpp:171-210); the newest group's pose IS the current body
     pose, so we take the Jacobians w.r.t. (Wsb, Tsb, Wbc, Tbc) directly —
-    identical measurement model, well-defined slots.
+    identical measurement model, well-defined slots. Two fidelity points
+    beyond the basic rows:
+
+    * the measurement noise is Rlc PLUS the matched landmark's own
+      position covariance projected into pixels (diagonal approximation)
+      — a well-known old landmark pulls hard, a fuzzy one barely
+      (replaces the flat Rlc of round 1);
+    * if the landmark's ANCHOR group is still in the EKF window, the
+      rows also carry the anchor-pose block (ComputeLCJacobian's
+      matched-group derivative, src/oos.cpp:92-145) so the loop closure
+      corrects the OLD pose too.
     """
     from ..filter.update import absorb_error, measurement_update
 
     F = cfg.dims.n_features
+    G = cfg.dims.n_groups
     D = cfg.dims.full
     dtype = s.P.dtype
     kind = cam_mod.MODEL_IDS[cfg.cam_model]
-    fr = s.features
+    fr, gr = s.features, s.groups
+    NG = gr.gid.shape[0]
 
     qrow, nn, inlier, any_loop, key = detect_loop_closures(
         cfg, s, ms, **detect_kw)
@@ -151,12 +225,23 @@ def close_loop(cfg: VIOConfig, s: VIOState, ms: MapState,
 
     Rbc_t = s.X.Rbc.T
     Rsb_t = s.X.Rsb.T
+    Mcap = ms.Xs.shape[0]
+    nnc = jnp.clip(nn, 0, Mcap - 1)
+    # anchor-group lookup by gid (alive = still an instate group)
+    agid = ms.gid[nnc]                                        # (F,)
+    eq = (agid[:, None] == gr.gid[None, :]) & (agid >= 0)[:, None] \
+        & (gr.gid >= 0)[None, :]
+    has_anchor = jnp.any(eq, axis=1)
+    arow = jnp.argmax(eq, axis=1)
+    arowc = jnp.clip(arow, 0, NG - 1)
+    aslot = jnp.where(has_anchor, gr.sind[arowc], -1)
+    alive = has_anchor & (aslot >= 0)
 
     def lc_row(slot):
         row = qrow[slot]
         use = inlier[slot]
-        Xs_old = ms.Xs[jnp.clip(nn[slot], 0, ms.Xs.shape[0] - 1)
-                       ].astype(dtype)
+        Xs_old = ms.Xs[nnc[slot]].astype(dtype)
+        cov_w = ms.cov[nnc[slot]].astype(dtype)
         xp_meas = fr.xp[row]
         Xb = Rsb_t @ (Xs_old - s.X.Tsb)
         Xcn = Rbc_t @ (Xb - s.X.Tbc)
@@ -165,19 +250,37 @@ def close_loop(cfg: VIOConfig, s: VIOState, ms: MapState,
         xcn, dxcn_dXcn = project_persp(Xcn_s)
         xp_pred, dxp_dxcn, _ = cam_mod.project_with_jac(kind, s.cam, xcn)
         dxp_dXcn = dxp_dxcn @ dxcn_dXcn
+        dXcn_dXs = Rbc_t @ Rsb_t
+        Hxs = dxp_dXcn @ dXcn_dXs                             # (2,3)
         H = jnp.zeros((2, D), dtype)
         H = H.at[:, L.WSB:L.WSB + 3].set(dxp_dXcn @ Rbc_t @ so3.hat(Xb))
-        H = H.at[:, L.TSB:L.TSB + 3].set(dxp_dXcn @ Rbc_t @ (-Rsb_t))
+        H = H.at[:, L.TSB:L.TSB + 3].set(-Hxs)
         H = H.at[:, L.WBC:L.WBC + 3].set(dxp_dXcn @ so3.hat(Xcn_s))
         H = H.at[:, L.TBC:L.TBC + 3].set(dxp_dXcn @ (-Rbc_t))
+        # anchor-pose block (landmark re-expressed in the live anchor)
+        Rg = gr.Rsb[arowc[slot]]
+        Tg = gr.Tsb[arowc[slot]]
+        Xb_a = Rg.T @ (Xs_old - Tg)
+        aw = (alive[slot] & use).astype(dtype)
+        HW_a = Hxs @ (-Rg @ so3.hat(Xb_a)) * aw
+        HT_a = Hxs * aw
+        Hg = jnp.concatenate([HW_a, HT_a], axis=1)            # (2,6)
+        # measurement variance: Rlc + projected landmark uncertainty
+        Rrow = cfg.Rlc + jnp.diagonal(Hxs @ cov_w @ Hxs.T)
         inn = xp_meas - xp_pred
         w = (use & front).astype(dtype)
-        return H * w, inn * w, use & front
+        return (H * w, Hg * w, jnp.clip(aslot[slot], 0, G - 1),
+                inn * w, Rrow, use & front)
 
-    H, inn, rv = jax.vmap(lc_row)(jnp.arange(F))
-    H = H.reshape(2 * F, D)
+    H, Hg, gslot, inn, Rrow, rv = jax.vmap(lc_row)(jnp.arange(F))
+    # scatter anchor blocks at their group slots (one-hot, trash-safe)
+    oh = jax.nn.one_hot(gslot, G, dtype=dtype) \
+        * (jnp.any(jnp.abs(Hg) > 0, axis=(1, 2)))[:, None]
+    Hgrp = jnp.einsum("fg,frk->frgk", oh, Hg).reshape(F, 2, 6 * G)
+    H = H.reshape(F, 2, D).at[:, :, L.GROUP_BEGIN:L.GROUP_BEGIN + 6 * G
+                              ].add(Hgrp).reshape(2 * F, D)
     inn = inn.reshape(2 * F)
-    diagR = jnp.full((2 * F,), cfg.Rlc, dtype)
+    diagR = Rrow.reshape(2 * F).astype(dtype)
     err, P = measurement_update(s.P, H, inn, diagR, rv)
     do = jnp.any(rv)
     err = jnp.where(do, err, 0.0)
@@ -189,17 +292,52 @@ def close_loop(cfg: VIOConfig, s: VIOState, ms: MapState,
 def retire_features(cfg: VIOConfig, s: VIOState, ms: MapState,
                     row_mask) -> MapState:
     """Push features (by table row) into the map with their spatial
-    positions + descriptors."""
+    positions, POSITION COVARIANCE, anchor group id and descriptors.
+
+    The landmark covariance is the feature's EKF (or subfilter) block
+    pushed through the local->world chain, first order in the feature
+    state (Mapper::AddFeature with Feature covariance,
+    src/mapper.cpp:158-240); anchor-pose uncertainty is not folded in
+    (documented approximation — it is shared across co-retired
+    landmarks and largely common-mode for loop closure).
+    """
     fr, gr = s.features, s.groups
     NG = gr.gid.shape[0]
+    d = cfg.dims
     grow = jnp.clip(fr.ref, 0, NG - 1)
+    dtype = fr.x.dtype
 
-    def xs_of(row):
-        Xc, _ = unproject_logz(fr.x[row])
+    # per-row 3x3 feature-block covariance: EKF block for instate rows
+    # (one-hot over slots; sqrt form reconstructs from factor rows),
+    # subfilter Psub otherwise
+    fb = d.feature_begin
+    F = d.n_features
+    if s.P.shape[0] != s.P.shape[1]:
+        rows3 = s.P[fb:fb + 3 * F].reshape(F, 3, -1)
+        blocks = jnp.einsum("fik,fjk->fij", rows3, rows3)    # (F,3,3)
+    else:
+        Pf = s.P[fb:fb + 3 * F, fb:fb + 3 * F]
+        blocks = jnp.stack([Pf[3 * k:3 * k + 3, 3 * k:3 * k + 3]
+                            for k in range(F)])
+    slot = jnp.clip(fr.sind, 0, F - 1)
+    oh = (slot[:, None] == jnp.arange(F)[None, :]) \
+        & (fr.sind >= 0)[:, None]
+    Pblk = jnp.einsum("rf,fij->rij", oh.astype(dtype),
+                      blocks.astype(dtype))
+    Pblk = jnp.where((fr.sind >= 0)[:, None, None], Pblk, fr.Psub)
+
+    def one(row):
+        Xc, dXc_dx = unproject_logz(fr.x[row])
         R = gr.Rsb[grow[row]]
         T = gr.Tsb[grow[row]]
-        return R @ (s.X.Rbc @ Xc + s.X.Tbc) + T
+        Xs = R @ (s.X.Rbc @ Xc + s.X.Tbc) + T
+        J = R @ s.X.Rbc @ dXc_dx                             # (3,3)
+        return Xs, J @ Pblk[row] @ J.T
 
-    Xs = jax.vmap(xs_of)(jnp.arange(fr.fid.shape[0]))
+    Xs, cov = jax.vmap(one)(jnp.arange(fr.fid.shape[0]))
+    gid = jnp.where(fr.ref >= 0, gr.gid[grow], -1)
     ok = row_mask & (fr.ref >= 0)
-    return map_insert(ms, Xs, fr.desc, ok)
+    return map_insert(ms, Xs, fr.desc, ok, cov=cov, gid=gid,
+                      nn_dist_thresh=(cfg.lc_nn_dist_thresh
+                                      if cfg.map_merge_on_retire else -1),
+                      merge_radius=cfg.map_merge_radius)
