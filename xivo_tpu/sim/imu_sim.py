@@ -143,6 +143,31 @@ def get_imu_sim(motion_type: str = "lissajous", **kw) -> IMUSim:
                              0.06 * np.sin(0.2 * t)])
         kw.setdefault("init_Vsb", np.array([2.0 * w1, 0.0, 0.5 * w2]))
         return IMUSim(accel_s, gyro, **kw)
+    if motion_type == "tumvi_room":
+        # TUM-VI-room-shaped motion: STATIONARY for rest_time seconds
+        # (gravity init from rest, src/estimator.cpp:439-473), then
+        # bounded room-scale translation + handheld-style rotation.
+        # cos-form accelerations give v(t0)=0 (continuous) and zero-mean
+        # velocity, so the position stays within ~0.6 m of the start for
+        # arbitrarily long runs (the camera must remain inside the
+        # textured room).
+        t0 = kw.pop("rest_time", 1.0)
+        wv = np.array([0.9, 0.65, 1.15])
+        Av = np.array([0.5, 0.55, 0.35])        # velocity amplitudes m/s
+        wg = np.array([0.45, 0.6, 0.35])
+        Ag = np.array([0.35, 0.30, 0.40])       # gyro amplitudes rad/s
+
+        def accel_s(t):
+            tt = max(t - t0, 0.0)
+            on = 1.0 if t >= t0 else 0.0
+            return on * Av * wv * np.cos(wv * tt)
+
+        def gyro(t):
+            tt = max(t - t0, 0.0)
+            on = 1.0 if t >= t0 else 0.0
+            return on * Ag * np.sin(wg * tt)
+        kw.setdefault("init_Vsb", np.zeros(3))
+        return IMUSim(accel_s, gyro, **kw)
     if motion_type == "calib_rich":
         # rotation-rich excitation for observability of camera-IMU
         # extrinsics / IMU intrinsics / time offset (the role of the

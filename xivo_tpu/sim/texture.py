@@ -1,0 +1,149 @@
+"""Textured synthetic imagery: the full-dress front-end test bed.
+
+The Gaussian-dot renderer (``render.py``) gives the tracker isolated
+blobs; real datasets (TUM-VI rooms) give it dense natural texture,
+motion blur, exposure wobble and lens distortion. This module renders
+the inside of a procedurally-textured box ("room") through ANY of the
+supported camera models (incl. the TUM-VI 512x512 equidistant lens),
+with photometric nuisance injection — closing the render-realism gap
+between dot tests and the BASELINE's real-data accuracy targets
+(TUM-VI protocol, scripts/run_and_eval_pyxivo.py:90-118 in the
+reference) without needing dataset bytes.
+
+Pipeline per frame (host-side numpy, like render_dots):
+  pixel grid -> unproject through the REAL camera model (done once) ->
+  rotate rays into the world -> ray/box-interior intersection ->
+  multi-octave value noise at the hit point -> shading -> exposure
+  gain -> optional blur -> sensor noise.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def pixel_rays(kind: int, intrin, w: int, h: int) -> np.ndarray:
+    """(h, w, 3) unit ray directions in the CAMERA frame for every pixel
+    center, unprojected through the real camera model (distortion
+    included). Compute once per camera config."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import cam as cam_mod
+
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
+    xp = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], axis=1))
+
+    @jax.jit
+    def unproj(xp):
+        xn = jax.vmap(lambda p: cam_mod.unproject(kind, jnp.asarray(
+            intrin, jnp.float64), p))(xp)
+        d = jnp.concatenate([xn, jnp.ones((xn.shape[0], 1), xn.dtype)],
+                            axis=1)
+        return d / jnp.linalg.norm(d, axis=1, keepdims=True)
+
+    return np.asarray(unproj(xp)).reshape(h, w, 3)
+
+
+def _hash01(ix, iy, iz, seed):
+    """Deterministic lattice hash -> [0, 1) (vectorized uint32 mix)."""
+    with np.errstate(over="ignore"):
+        h = (ix.astype(np.uint32) * np.uint32(374761393)
+             + iy.astype(np.uint32) * np.uint32(668265263)
+             + iz.astype(np.uint32) * np.uint32(2246822519)
+             + np.uint32(seed) * np.uint32(3266489917))
+        h ^= h >> np.uint32(13)
+        h *= np.uint32(1274126177)
+        h ^= h >> np.uint32(16)
+    return h.astype(np.float64) / 4294967296.0
+
+
+def value_noise3(p, seed=0):
+    """Trilinear value noise at points p (..., 3) -> [0, 1)."""
+    pf = np.floor(p)
+    f = p - pf
+    f = f * f * (3.0 - 2.0 * f)       # smoothstep
+    ix, iy, iz = (pf[..., 0].astype(np.int64), pf[..., 1].astype(np.int64),
+                  pf[..., 2].astype(np.int64))
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+
+    def h(dx, dy, dz):
+        return _hash01(ix + dx, iy + dy, iz + dz, seed)
+
+    c00 = h(0, 0, 0) * (1 - fx) + h(1, 0, 0) * fx
+    c10 = h(0, 1, 0) * (1 - fx) + h(1, 1, 0) * fx
+    c01 = h(0, 0, 1) * (1 - fx) + h(1, 0, 1) * fx
+    c11 = h(0, 1, 1) * (1 - fx) + h(1, 1, 1) * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    return c0 * (1 - fz) + c1 * fz
+
+
+def fbm3(p, octaves=4, seed=0):
+    """Fractal (multi-octave) value noise -> approx [0, 1)."""
+    out = np.zeros(p.shape[:-1])
+    amp, freq, norm = 1.0, 1.0, 0.0
+    for o in range(octaves):
+        out += amp * value_noise3(p * freq, seed=seed + o)
+        norm += amp
+        amp *= 0.55
+        freq *= 2.1
+    return out / norm
+
+
+class TexturedBoxWorld:
+    """Camera inside an axis-aligned textured box (a TUM-VI-like room).
+
+    half_extents: (3,) box half sizes [m]; texture_scale: lattice cells
+    per meter (sets feature size on the walls).
+    """
+
+    def __init__(self, kind: int, intrin, w: int, h: int,
+                 half_extents=(5.0, 5.0, 3.0), texture_scale=3.0,
+                 octaves=4, seed=0, base=60.0, contrast=150.0):
+        self.rays = pixel_rays(kind, intrin, w, h)       # (h, w, 3)
+        self.half = np.asarray(half_extents, np.float64)
+        self.scale = texture_scale
+        self.octaves = octaves
+        self.seed = seed
+        self.base = base
+        self.contrast = contrast
+
+    def hit_points(self, Rsc, Tsc):
+        """Ray/box-interior intersection. Returns (points (h,w,3),
+        depth (h,w)) — camera must be inside the box."""
+        d = self.rays @ np.asarray(Rsc).T                 # world dirs
+        o = np.asarray(Tsc)
+        with np.errstate(divide="ignore"):
+            t_axis = (np.sign(d) * self.half[None, None, :] - o) / d
+        t_axis = np.where(np.abs(d) < 1e-12, np.inf, t_axis)
+        t = np.min(t_axis, axis=-1)
+        return o + t[..., None] * d, t
+
+    def render(self, Rsc, Tsc, exposure=1.0, blur_px=0.0, noise_std=0.0,
+               rng=None):
+        """Render one (h, w) float32 frame at camera pose (Rsc, Tsc)."""
+        p, t = self.hit_points(Rsc, Tsc)
+        tex = fbm3(p * self.scale, octaves=self.octaves, seed=self.seed)
+        # mild distance shading — keeps walls distinguishable and gives
+        # the intensity a low-frequency component like real rooms
+        shade = 1.0 / (1.0 + 0.06 * t)
+        img = (self.base + self.contrast * tex) * shade * exposure
+        if blur_px > 0:
+            img = _gauss_blur(img, blur_px)
+        if noise_std > 0 and rng is not None:
+            img = img + rng.standard_normal(img.shape) * noise_std
+        return np.clip(img, 0.0, 255.0).astype(np.float32)
+
+
+def _gauss_blur(img, sigma):
+    """Separable Gaussian blur (host-side, small kernel)."""
+    r = max(1, int(np.ceil(2.5 * sigma)))
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    pad = np.pad(img, ((r, r), (0, 0)), mode="edge")
+    img = sum(pad[i:pad.shape[0] - 2 * r + i] * k[i] for i in range(2 * r + 1))
+    pad = np.pad(img, ((0, 0), (r, r)), mode="edge")
+    return sum(pad[:, i:pad.shape[1] - 2 * r + i] * k[i]
+               for i in range(2 * r + 1))
