@@ -35,13 +35,13 @@ from xivo_tpu.sim.stream import build_pcw_stream
 from tests.test_e2e_pcw import PCW_CFG
 
 
-def run_case(total_time, use_fej, use_oc, true_Tbc, true_Wbc):
+def run_case(total_time, use_fej, use_oc, true_Tbc, true_Wbc, **extra):
     from xivo_tpu.geom import so3
     cfg = config_from_json(
         dict(PCW_CFG,
              P=dict(PCW_CFG["P"], Wbc=0.03, Tbc=0.05)),
         dtype="float64", sim_initialize_depths=True,
-        propagation_mode="fast", use_fej=use_fej, use_oc=use_oc)
+        propagation_mode="fast", use_fej=use_fej, use_oc=use_oc, **extra)
     fi, gt = build_pcw_stream(cfg, total_time=total_time, noise_px=0.25,
                               motion="calib_rich", world="tube",
                               true_Tbc=true_Tbc,
@@ -83,12 +83,22 @@ def main():
     args = ap.parse_args()
     true_Tbc = np.array([0.03, -0.02, 0.04])
     true_Wbc = np.array([-1.57079633 + 0.02, -0.015, 0.01])
-    print(f"{'case':12s} {'ATE-RMSE':>10s} {'Tbc err':>10s} {'Tbc NEES':>10s}")
-    for fej, oc, name in [(False, False, "base"), (True, False, "fej"),
-                          (False, True, "oc"), (True, True, "fej+oc")]:
-        ate, tbce, nees = run_case(args.total_time, fej, oc, true_Tbc,
-                                   true_Wbc)
-        print(f"{name:12s} {ate:10.4f} {tbce:10.4f} {nees:10.1f}")
+    print(f"{'case':16s} {'ATE-RMSE':>10s} {'Tbc err':>10s} {'Tbc NEES':>10s}")
+    cases = [
+        (dict(use_fej=False, use_oc=False), "base"),
+        (dict(use_fej=True, use_oc=False), "fej"),
+        (dict(use_fej=False, use_oc=True), "oc"),
+        (dict(use_fej=True, use_oc=True), "fej+oc"),
+        (dict(use_fej=True, use_oc=True,
+              approximate_init_covariance=True), "fej+oc+initcov"),
+        (dict(use_fej=True, use_oc=True,
+              approximate_init_covariance=True,
+              use_OOS=True), "fej+oc+ic+oos"),
+    ]
+    for kw, name in cases:
+        ate, tbce, nees = run_case(args.total_time, true_Tbc=true_Tbc,
+                                   true_Wbc=true_Wbc, **kw)
+        print(f"{name:16s} {ate:10.4f} {tbce:10.4f} {nees:10.1f}")
 
 
 if __name__ == "__main__":

@@ -109,7 +109,7 @@ def phase_tracker(s, mid, mxp, mdep, mval):
 
 
 def phase_process_tracks(s):
-    s, _ = pl._process_tracks(cfg, s)
+    s, _, _ = pl._process_tracks(cfg, s)
     return s
 
 

@@ -109,7 +109,7 @@ def run_rehearsal(total_time=3.0, dtype="float64", rest_time=0.6,
     est = Estimator(cfg)
     rng = np.random.default_rng(seed)
 
-    errs, counts, gts, times = [], [], [], []
+    errs, counts, gts, ests, times = [], [], [], [], []
     t = 0.0
     next_vis = rest_time + vis_dt
     n_steps = int(round(total_time / imu_dt))
@@ -126,14 +126,15 @@ def run_rehearsal(total_time=3.0, dtype="float64", rest_time=0.6,
                                blur_px=0.6, noise_std=2.0, rng=rng)
             est.VisualMeas(next_vis, img)
             if est.vision_initialized:
-                errs.append(np.linalg.norm(
-                    np.asarray(est.state.X.Tsb) - Tsb))
+                Te = np.asarray(est.state.X.Tsb)
+                errs.append(np.linalg.norm(Te - Tsb))
                 counts.append(est.num_tracked_features())
                 gts.append(Tsb)
+                ests.append(Te)
                 times.append(next_vis)
             next_vis += vis_dt
     return est, np.asarray(errs), np.asarray(counts), np.asarray(gts), \
-        np.asarray(times)
+        np.asarray(times), np.asarray(ests)
 
 
 @pytest.fixture(scope="module")

@@ -137,6 +137,11 @@ def cholesky_batched(G: jnp.ndarray, block: int = 128) -> jnp.ndarray:
         out_specs=pl.BlockSpec((Bc, Dp, Dp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         input_output_aliases={0: 0},
+        # in + out block buffers plus step temporaries exceed the 16 MB
+        # scoped-vmem default by a hair at Bc=16/Dp=256; v5e has VMEM
+        # headroom beyond the default cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
     )(Gt)
     return out[:B, :D, :D]
 
