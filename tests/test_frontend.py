@@ -120,3 +120,22 @@ def test_select_topk_masks_occupied():
     assert not np.any((np.abs(xy[:, 0] - 16) <= 7)
                       & (np.abs(xy[:, 1] - 16) <= 7))
     assert len(xy) >= 3
+
+
+def test_agast_detector_fires_on_texture():
+    """AGAST-7/12d (detector breadth parity, src/tracker.cpp:36-97):
+    same segment-test family as FAST on the 12-diamond ring."""
+    import numpy as np
+    from xivo_tpu.frontend.fast import agast_score, nms3
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 60, (64, 64)))
+    # plant a bright corner blob
+    img = img.at[30:34, 30:34].set(220.0)
+    sc = nms3(agast_score(img, threshold=20.0))
+    ys, xs = np.nonzero(np.asarray(sc) > 0)
+    assert len(ys) > 0
+    # responses concentrate at the blob corners
+    assert (np.abs(ys - 32) <= 4).any() and (np.abs(xs - 32) <= 4).any()
+    # a flat image has no corners
+    flat = jnp.zeros((64, 64))
+    assert float(jnp.max(agast_score(flat, 20.0))) == 0.0

@@ -61,6 +61,49 @@ def fast_score(img, threshold: float = 20.0, arc: int = 9):
     return jnp.where(is_corner, best, 0.0)
 
 
+# AGAST 7/12d ring: diamond of radius 2-3 (the "d" pattern of
+# cv::AgastFeatureDetector AGAST_7_12d, reference detector factory
+# src/tracker.cpp:36-97)
+DIAMOND12 = [
+    (0, -3), (1, -2), (2, -1), (3, 0), (2, 1), (1, 2),
+    (0, 3), (-1, 2), (-2, 1), (-3, 0), (-2, -1), (-1, -2),
+]
+
+
+def agast_score(img, threshold: float = 20.0, arc: int = 7):
+    """AGAST-7/12d corner response map (H, W).
+
+    Same segment-test criterion as FAST but on the 12-pixel diamond
+    ring with a 7-contiguous arc — the AGAST_7_12d pattern. (OpenCV's
+    AGAST accelerates the DECISION TREE per pixel; on TPU the whole
+    map is a fused stencil, so only the ring/arc geometry matters.)
+    """
+    n = len(DIAMOND12)
+    rings = jnp.stack([_shift(img, dx, dy) for (dx, dy) in DIAMOND12])
+    diff = rings - img[None]
+    brighter = diff > threshold
+    darker = diff < -threshold
+
+    def arc_ok(mask):
+        out = jnp.zeros_like(mask[0], dtype=bool)
+        for start in range(n):
+            run = mask[start]
+            for k in range(1, arc):
+                run = run & mask[(start + k) % n]
+            out = out | run
+        return out
+
+    is_corner = arc_ok(brighter) | arc_ok(darker)
+    adiff = jnp.abs(diff)
+    best = jnp.zeros_like(img)
+    for start in range(n):
+        m = adiff[start]
+        for k in range(1, arc):
+            m = jnp.minimum(m, adiff[(start + k) % n])
+        best = jnp.maximum(best, m)
+    return jnp.where(is_corner, best, 0.0)
+
+
 def shi_tomasi_score(img, block: int = 3):
     """GFTT/Shi-Tomasi min-eigenvalue response (detector alternative)."""
     from .image import scharr, blur3
@@ -100,24 +143,39 @@ def select_topk(score, k: int, margin: int, occupied_xy, occupied_valid,
     score = jnp.where(ok, score, 0.0)
 
     half = mask_size // 2
-    # suppress boxes around occupied positions: for each occupied point,
-    # zero the box. Vectorized: compute for every pixel the min distance
-    # in chebyshev metric to occupied points — memory heavy; instead
-    # scatter -inf boxes via dynamic updates per occupied point (bounded
-    # count, typically <= 200).
-    def body(i, sc):
-        cx = occupied_xy[i, 0].astype(jnp.int32)
-        cy = occupied_xy[i, 1].astype(jnp.int32)
-        valid = occupied_valid[i]
-        patch = jnp.where(valid, 0.0, 1.0) * jax.lax.dynamic_slice(
-            sc, (jnp.clip(cy - half, 0, H - mask_size),
-                 jnp.clip(cx - half, 0, W - mask_size)),
-            (mask_size, mask_size))
-        return jax.lax.dynamic_update_slice(
-            sc, patch, (jnp.clip(cy - half, 0, H - mask_size),
-                        jnp.clip(cx - half, 0, W - mask_size)))
+    # suppress boxes around occupied positions (Tracker::MaskOut). One
+    # scatter builds an occupancy image of ALL live tracks, then a
+    # separable Chebyshev max-dilation grows each seed into its
+    # (2*half+1)^2 box — fully parallel. (The previous per-point
+    # dynamic-slice loop ran its N_table iterations SEQUENTIALLY — a
+    # measured multi-ms latency chain under batch vmap.)
+    cx = jnp.clip(occupied_xy[:, 0].astype(jnp.int32), 0, W - 1)
+    cy = jnp.clip(occupied_xy[:, 1].astype(jnp.int32), 0, H - 1)
+    occ = jnp.zeros((H, W), jnp.float32).at[
+        jnp.where(occupied_valid, cy, H), cx].max(1.0, mode="drop")
 
-    score = jax.lax.fori_loop(0, occupied_xy.shape[0], body, score)
+    def shift(x, s, axis):
+        # zero-fill shift (roll would wrap masks across the border)
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (max(s, 0), max(-s, 0))
+        xp2 = jnp.pad(x, pad)
+        sl = [slice(None), slice(None)]
+        sl[axis] = slice(max(-s, 0), xp2.shape[axis] - max(s, 0))
+        return xp2[tuple(sl)]
+
+    def dilate1d(x, r, axis):
+        # log-step max-dilation: after reach R the support is [-R, R];
+        # a further shift by s <= 2R+1 keeps it contiguous
+        R = 0
+        while R < r:
+            s = min(2 * R + 1, r - R)
+            x = jnp.maximum(x, jnp.maximum(shift(x, s, axis),
+                                           shift(x, -s, axis)))
+            R += s
+        return x
+
+    occ = dilate1d(dilate1d(occ, half, 0), half, 1)
+    score = jnp.where(occ > 0, 0.0, score)
 
     flat = score.reshape(-1)
     vals, idx = jax.lax.top_k(flat, k)

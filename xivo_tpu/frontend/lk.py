@@ -33,18 +33,17 @@ def _extract_patches(imgs, cx, cy, S: int):
     with out-of-image rows/cols border-clamped (matching the bilinear
     border clamp of the gather formulation).
     """
+    from .image import sel_einsum
     C, H, W = imgs.shape
     offs = jnp.arange(S, dtype=jnp.int32) - S // 2
     rows = jnp.clip(cy[:, None] + offs[None, :], 0, H - 1)      # (N, S)
     cols = jnp.clip(cx[:, None] + offs[None, :], 0, W - 1)
     Ar = (rows[:, :, None]
           == jnp.arange(H, dtype=jnp.int32)[None, None, :]).astype(imgs.dtype)
-    R = jnp.einsum("nsh,chw->cnsw", Ar, imgs,
-                   precision=HIGHEST)                           # (C,N,S,W)
+    R = sel_einsum("nsh,chw->cnsw", Ar, imgs)                   # (C,N,S,W)
     Ac = (cols[:, :, None]
           == jnp.arange(W, dtype=jnp.int32)[None, None, :]).astype(imgs.dtype)
-    return jnp.einsum("cnsw,ntw->cnst", R, Ac,
-                      precision=HIGHEST)                        # (C,N,S,S)
+    return sel_einsum("cnsw,ntw->cnst", R, Ac)                  # (C,N,S,S)
 
 
 def _patch_bilinear(patch, start, w: int):
@@ -71,13 +70,12 @@ def _patch_bilinear(patch, start, w: int):
     rows = by[:, None] + offs[None, :]                          # (N, w)
     Wr = ((k[None, None, :] == rows[:, :, None]) * (1.0 - fy)
           + (k[None, None, :] == rows[:, :, None] + 1.0) * fy).astype(dt)
-    Rm = jnp.einsum("nws,nst->nwt", Wr, patch,
-                    precision=HIGHEST)                          # (N, w, S)
+    from .image import sel_einsum
+    Rm = sel_einsum("nws,nst->nwt", Wr, patch)                  # (N, w, S)
     cols = bx[:, None] + offs[None, :]
     Wc = ((k[None, None, :] == cols[:, :, None]) * (1.0 - fx)
           + (k[None, None, :] == cols[:, :, None] + 1.0) * fx).astype(dt)
-    return jnp.einsum("nwt,nvt->nwv", Rm, Wc,
-                      precision=HIGHEST)                        # (N, w, w)
+    return sel_einsum("nwt,nvt->nwv", Rm, Wc)                   # (N, w, w)
 
 
 def _scharr_patches(p):
@@ -143,12 +141,17 @@ def _track_level(prev_img, next_img, pts_prev, guesses, valid, half: int,
     lo = sorig + half
     hi = sorig + half + (S - w - 1)
 
+    UNROLL = 3   # GN steps per while iteration: the loop is LATENCY-
+    # bound on TPU (each iteration is a tiny fused kernel + a sync on
+    # the batch-global exit cond), so packing 3 done-masked steps per
+    # iteration cuts the sequential chain ~3x with IDENTICAL results
+    # (done-masked updates are exact no-ops after convergence).
+
     def cond(carry):
         i, _, done, _ = carry
         return (i < iters) & ~jnp.all(done)
 
-    def body(carry):
-        i, pt, done, escaped = carry
+    def gn_step(pt, done, escaped):
         I = _patch_bilinear(sp, (pt - half) - sorig, w)
         r = I - T
         bx = jnp.sum(Gx * r, axis=(1, 2))
@@ -163,7 +166,13 @@ def _track_level(prev_img, next_img, pts_prev, guesses, valid, half: int,
         pt_new = jnp.where(done[:, None], pt, clamped)
         # a track pushed past the pad margin cannot converge here — mark
         # it escaped (-> failed) and stop iterating it
-        return i + 1, pt_new, done | small | hit, escaped | (hit & ~done)
+        return pt_new, done | small | hit, escaped | (hit & ~done)
+
+    def body(carry):
+        i, pt, done, escaped = carry
+        for _ in range(UNROLL):
+            pt, done, escaped = gn_step(pt, done, escaped)
+        return i + UNROLL, pt, done, escaped
 
     # whole-table early exit: with the filter-predicted initial flow most
     # tracks converge in a handful of iterations, so running the full

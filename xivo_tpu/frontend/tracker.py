@@ -44,6 +44,17 @@ def init_frontend(cfg: VIOConfig) -> FrontendState:
     return FrontendState(pyr=tuple(pyr), initialized=jnp.asarray(False))
 
 
+def _detect_score(cfg: VIOConfig, img):
+    """Detector factory (src/tracker.cpp:36-97): FAST | AGAST | GFTT."""
+    det = cfg.detector.upper()
+    if det == "GFTT":
+        return shi_tomasi_score(img)
+    if det == "AGAST":
+        from .fast import agast_score
+        return agast_score(img, cfg.fast_threshold)
+    return fast_score(img, cfg.fast_threshold)
+
+
 def tracker_image(cfg: VIOConfig, s: VIOState, fes: FrontendState,
                   image) -> Tuple[VIOState, FrontendState]:
     """One tracker update from an (H, W) float image."""
@@ -120,11 +131,7 @@ def tracker_image(cfg: VIOConfig, s: VIOState, fes: FrontendState,
     need = n_live < cfg.num_features_min
     budget = jnp.maximum(cfg.num_features_max - n_live, 0)
 
-    if cfg.detector.upper() == "GFTT":
-        score = shi_tomasi_score(pyr_new[0])
-    else:
-        score = fast_score(pyr_new[0], cfg.fast_threshold)
-    score = nms3(score)
+    score = nms3(_detect_score(cfg, pyr_new[0]))
 
     K_DET = 64  # static per-frame detection budget
     det_xy, det_score, det_ok = select_topk(
@@ -241,11 +248,7 @@ def tracker_match(cfg: VIOConfig, s: VIOState, fes: FrontendState,
     pyr_new = tuple(build_pyramid(image.astype(jnp.float32),
                                   cfg.klt_max_level))
 
-    if cfg.detector.upper() == "GFTT":
-        score = shi_tomasi_score(pyr_new[0])
-    else:
-        score = fast_score(pyr_new[0], cfg.fast_threshold)
-    score = nms3(score)
+    score = nms3(_detect_score(cfg, pyr_new[0]))
 
     K_DET = 128  # static per-frame detection budget (MATCH re-detects all)
     # no occupancy masking: UpdateMatch detects everywhere (no MaskOut)
