@@ -1,0 +1,114 @@
+"""Where does the sqrt-form premium over dense go? (VERDICT r2 weak #1)
+
+Times the full PCW frame pipeline (scan over frames, vmap over B
+sequences — the only timing methodology that is real on the axon relay)
+under surgical variants:
+
+  dense          covariance_form=full (r01 flagship)
+  sqrt           covariance_form=sqrt (r02 flagship, the regressed one)
+  sqrt-norecomp  factor_recompress -> identity    (cost of recompress)
+  sqrt-nonoise   noise_factor -> zeros            (cost of the 17x17 chol)
+  sqrt-noupd     sqrt_update -> err=0, S passthru (cost of the downdate)
+  sqrt-nomh      factor_innovation_blocks -> ones (cost of gating blocks)
+
+Numerics go wrong under the ablations; TIMING stays honest (shapes and
+dataflow preserved, outputs consumed by the scan carry).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xivo_tpu.filter.config import config_from_json
+from xivo_tpu.runner import batch_states, make_batch_runner
+from xivo_tpu.sim.stream import build_pcw_stream
+from tests.test_e2e_pcw import PCW_CFG
+
+B = int(os.environ.get("B", "256"))
+SECONDS = float(os.environ.get("SECONDS", "5.0"))
+
+
+def run_variant(name, cov_form, patch=None):
+    import xivo_tpu.filter.sqrt_form as SF
+    saved = {}
+    if patch:
+        for attr, fn in patch.items():
+            saved[attr] = getattr(SF, attr)
+            setattr(SF, attr, fn)
+    try:
+        cfg = config_from_json(
+            PCW_CFG, dtype="float32", sim_initialize_depths=True,
+            propagation_mode="fast", covariance_form=cov_form)
+        fi, gt = build_pcw_stream(cfg, total_time=SECONDS, noise_px=0.25)
+        T = int(fi.frame_dt.shape[0])
+        s = batch_states(cfg, B)
+        dt = np.dtype(cfg.dtype)
+        s = s._replace(
+            last_gyro=jnp.broadcast_to(jnp.asarray(gt["gyro0"], dt),
+                                       (B, 3)).copy(),
+            last_accel=jnp.broadcast_to(jnp.asarray(gt["accel0"], dt),
+                                        (B, 3)).copy())
+        fib = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), fi)
+        run = make_batch_runner(cfg)
+        s0 = jax.tree.map(lambda x: x.copy(), s)
+        sv, outs = run(s0, fib)
+        jax.block_until_ready(outs.Tsb)
+        reps = 2
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            s0 = jax.tree.map(lambda x: x.copy(), s)
+            sv, outs = run(s0, fib)
+        jax.block_until_ready(outs.Tsb)
+        wall = (time.perf_counter() - t0) / reps
+        fps = B * T / wall
+        ms_per_fb = wall / T * 1e3
+        err = np.linalg.norm(np.asarray(outs.Tsb)[0] - gt["Tsb"], axis=1)
+        rmse = float(np.sqrt(np.mean(err ** 2)))
+        print(f"{name:16s} {fps:9.1f} f/s/chip  {ms_per_fb:7.3f} ms/frame-batch"
+              f"  ate={rmse:.4f}", flush=True)
+        return ms_per_fb
+    finally:
+        for attr, fn in saved.items():
+            setattr(SF, attr, fn)
+
+
+def main():
+    import xivo_tpu.filter.sqrt_form as SF
+
+    base_recomp = SF.factor_recompress
+    base_noise = SF.noise_factor
+    base_upd = SF.sqrt_update
+    base_blocks = SF.factor_innovation_blocks
+
+    variants = [
+        ("dense", "full", None),
+        ("sqrt", "sqrt", None),
+        ("sqrt-norecomp", "sqrt",
+         {"factor_recompress": lambda S, D: S}),
+        ("sqrt-nonoise", "sqrt",
+         {"noise_factor": lambda cfg, Qd: jnp.zeros(
+             (Qd.shape[0], Qd.shape[0]), Qd.dtype)}),
+        ("sqrt-noupd", "sqrt",
+         {"sqrt_update": lambda S, H, inn, diagR, rv: (
+             jnp.zeros((S.shape[0],), S.dtype) + 1e-12 * jnp.sum(H)
+             + 1e-12 * jnp.sum(inn), S * (1.0 + 1e-12 * jnp.sum(diagR)))}),
+        ("sqrt-nomh", "sqrt",
+         {"factor_innovation_blocks": lambda S, H: (
+             jnp.ones((H.shape[0] // 2,), S.dtype) + 1e-12 * jnp.sum(H * H),
+             jnp.zeros((H.shape[0] // 2,), S.dtype),
+             jnp.ones((H.shape[0] // 2,), S.dtype))}),
+    ]
+    only = os.environ.get("ONLY")
+    for name, form, patch in variants:
+        if only and only not in name:
+            continue
+        run_variant(name, form, patch)
+
+
+if __name__ == "__main__":
+    main()

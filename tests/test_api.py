@@ -129,3 +129,76 @@ def test_checkpoint_resume(tmp_path):
     est.VisualMeasPointCloud(1.65, ids, xpd)
     est2.VisualMeasPointCloud(1.65, ids, xpd)
     assert np.allclose(est.gsb()[1], est2.gsb()[1], atol=1e-12)
+
+
+def _feed_stream(est, packets, imu, pcw, K, Rbc, Tbc):
+    for (t, kind) in packets:
+        if kind == 0:
+            a, g = imu.meas(t)
+            est.InertialMeas(t, g, a)
+        else:
+            Rsb, Tsb = imu.gsb(t)
+            ids, xpd = pcw.generate_measurements(
+                Rsb @ Rbc, Rsb @ Tbc + Tsb, K, 640, 480, 0.0)
+            est.VisualMeasPointCloud(t, ids, xpd)
+    est.flush()
+
+
+def test_message_reordering_bit_identical():
+    """Out-of-order delivery within the buffer window must reproduce the
+    in-order trajectory EXACTLY (min-heap drain semantics of
+    Estimator::MaintainBuffer, src/estimator.cpp:923-941)."""
+    cfg = config_from_json(PCW_CFG, dtype="float64",
+                           sim_initialize_depths=True,
+                           message_buffer_size=10)
+    imu = get_imu_sim("gentle", T=3.0, noise_accel=0, noise_gyro=0, seed=1)
+    pcw = RandomPCW([-10, 10], [-10, 10], [-5, 5], n_points=300, seed=0)
+    K = np.array([[275.0, 0, 320], [0, 275, 240], [0, 0, 1]])
+    T = 2.0
+    # visual stream offset from the IMU grid: co-timed messages have no
+    # defined relative order through a timestamp heap (the reference's
+    # heap cmp is ts-only too), so equality there is arrival-order luck
+    packets = sorted([(t, 0) for t in np.arange(0, T, 0.01)]
+                     + [(t + 0.003, 1) for t in np.arange(0, T, 0.05)])
+
+    est_ord = Estimator(cfg)
+    Rbc, Tbc = est_ord.gbc()
+    _feed_stream(est_ord, packets, imu, pcw, K, Rbc, Tbc)
+
+    # shuffle within a window smaller than the buffer: every group of 8
+    # consecutive packets is delivered in reverse
+    shuffled = []
+    for i in range(0, len(packets), 8):
+        shuffled.extend(reversed(packets[i:i + 8]))
+    assert shuffled != packets
+    est_shuf = Estimator(cfg)
+    _feed_stream(est_shuf, shuffled, imu, pcw, K, Rbc, Tbc)
+
+    assert est_shuf.num_misordered_dropped() == 0
+    np.testing.assert_array_equal(np.asarray(est_ord.gsb()[1]),
+                                  np.asarray(est_shuf.gsb()[1]))
+    np.testing.assert_array_equal(np.asarray(est_ord.gsb()[0]),
+                                  np.asarray(est_shuf.gsb()[0]))
+    np.testing.assert_array_equal(est_ord.Vsb(), est_shuf.Vsb())
+    assert est_ord.num_instate_features() == est_shuf.num_instate_features()
+
+
+def test_message_reordering_drops_stragglers():
+    """A message delayed beyond the buffer window is dropped (GoodTimestamp,
+    src/estimator.cpp:1108-1110) and counted, not executed backwards."""
+    cfg = config_from_json(PCW_CFG, dtype="float64",
+                           sim_initialize_depths=True,
+                           message_buffer_size=5)
+    imu = get_imu_sim("gentle", T=3.0, noise_accel=0, noise_gyro=0, seed=1)
+    est = Estimator(cfg)
+    times = list(np.arange(0, 1.0, 0.01))
+    # move one early sample to the very end: by then the clock has
+    # advanced far past it
+    straggler = times.pop(10)
+    for t in times:
+        a, g = imu.meas(t)
+        est.InertialMeas(t, g, a)
+    a, g = imu.meas(straggler)
+    est.InertialMeas(straggler, g, a)
+    est.flush()
+    assert est.num_misordered_dropped() == 1

@@ -56,3 +56,32 @@ def test_rpe_detects_drift():
     T2 = T + np.outer(t, np.array([0.1, 0, 0]))
     tr, rot, n = rpe(t, R, T2, t, R, T, delta=1.0)
     assert abs(tr - 0.1) < 0.02
+
+
+def test_associate_tum_global_best_pairs():
+    """The TUM protocol sorts ALL candidate pairs by |dt| and takes
+    global best matches (tum_rgbd_benchmark_tools/associate.py:76-105).
+    Fixture where first-come nearest-neighbor matching disagrees: est[0]
+    is closer to gt[1] than to gt[0], but est[1] is even closer to gt[1]
+    — global matching gives gt[1] to est[1] and gt[0] to est[0]; greedy
+    first-come would let est[0] steal gt[1] and push est[1] out of its
+    best pair.
+    """
+    from xivo_tpu.eval.metrics import associate
+    t_gt = np.array([0.000, 0.010])
+    t_est = np.array([0.006, 0.0095])
+    pairs = associate(t_est, t_gt, max_difference=0.008)
+    # greedy-first-come would produce [(0, 1)] and leave est[1] matched
+    # to nothing (gt[0] is 0.0095 away — outside the window)
+    assert pairs == [(0, 0), (1, 1)]
+
+
+def test_associate_strict_window_and_no_reuse():
+    from xivo_tpu.eval.metrics import associate
+    t_gt = np.array([0.0, 1.0, 2.0])
+    # exactly at the window boundary: STRICT < excludes it (reference
+    # uses < max_difference)
+    assert associate(np.array([0.5]), t_gt, max_difference=0.5) == []
+    # two estimates competing for one GT stamp: closer wins, no reuse
+    pairs = associate(np.array([0.99, 1.002]), t_gt, max_difference=0.05)
+    assert pairs == [(1, 1)]

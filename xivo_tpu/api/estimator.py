@@ -66,7 +66,15 @@ class Estimator:
         self._last_prop_time = None
         self._last_out = None
         self._seq = itertools.count()
-        self._buf = []             # reorder heap [(ts, kind, n, payload)]
+        # out-of-order message reordering (src/estimator.cpp:923-941):
+        # a min-heap of (ts, seq, kind, payload) drained once its depth
+        # exceeds cfg.message_buffer_size; stragglers older than the
+        # system clock are dropped (src/estimator.cpp:1108-1110,
+        # GoodTimestamp at millisecond granularity). Size 0 = immediate
+        # dispatch (the replay drivers feed pre-sorted streams).
+        self._buf = []             # reorder heap [(ts, seq, kind, payload)]
+        self._clock = -float("inf")
+        self._n_misordered_dropped = 0
         self._fes = None           # frontend (image-path) state
         self._image_step = None
         self._tracker_step = None
@@ -75,10 +83,76 @@ class Estimator:
     # ------------------------------------------------------------------
     # measurement entry points (pyxivo parity)
     # ------------------------------------------------------------------
+    #
+    # Every entry point routes through the reorder buffer: messages are
+    # pushed onto a timestamp min-heap and executed oldest-first only
+    # once the heap is deeper than cfg.message_buffer_size — the drain
+    # semantics of Estimator::MaintainBuffer (src/estimator.cpp:923-941).
+    # With message_buffer_size=0 (default) dispatch is immediate and
+    # behavior is identical to in-order delivery. The online-td
+    # timestamp shift happens at PUSH time for visual messages
+    # (src/estimator.cpp:943-951), so reordering sees shifted stamps.
+
+    def _push(self, ts: float, kind: str, payload, order_ts=None):
+        """order_ts: heap/clock ordering key when it differs from the
+        execution timestamp — visual messages order by their td-shifted
+        stamp (src/estimator.cpp:943-951) while propagation intervals
+        stay in the raw clock domain (the in-graph dt_eff correction in
+        propagate_frame owns the td physics; shifting here too would
+        double-apply the drift)."""
+        key = ts if order_ts is None else order_ts
+        if self.cfg.message_buffer_size <= 0:
+            self._execute(ts, kind, payload)
+            return
+        heapq.heappush(self._buf, (key, next(self._seq), kind, ts, payload))
+        while len(self._buf) > self.cfg.message_buffer_size:
+            self._pop_execute()
+
+    def _pop_execute(self):
+        key, _, kind, ts, payload = heapq.heappop(self._buf)
+        # GoodTimestamp (src/estimator.cpp:706-717): stragglers older
+        # than the executed clock — at millisecond granularity, like the
+        # reference's ms-truncated compare — are dropped, not rewound.
+        if np.isfinite(self._clock) \
+                and int(np.floor(key * 1e3)) < int(np.floor(self._clock * 1e3)):
+            self._n_misordered_dropped += 1
+            return
+        self._clock = max(self._clock, key)
+        self._execute(ts, kind, payload)
+
+    def _execute(self, ts: float, kind: str, payload):
+        if kind == "imu":
+            self._inertial_meas_internal(ts, *payload)
+        elif kind == "image":
+            self._visual_meas_internal(ts, payload)
+        elif kind == "pc":
+            self._visual_meas_pc_internal(ts, *payload)
+        elif kind == "image_tracker":
+            self._visual_tracker_only_internal(ts, payload)
+        elif kind == "pc_tracker":
+            self._visual_pc_tracker_only_internal(ts, *payload)
+
+    def flush(self):
+        """Drain the reorder buffer (execute everything still queued).
+
+        The reference never drains its tail — up to MESSAGE_BUFFER_SIZE
+        messages are simply lost at shutdown. Finite-stream drivers here
+        call flush() to process them; no-op when buffering is off.
+        """
+        while self._buf:
+            self._pop_execute()
+
+    def num_misordered_dropped(self):
+        """Messages dropped for arriving with timestamps older than the
+        executed clock (the reference logs and drops these,
+        src/estimator.cpp:1108-1110)."""
+        return self._n_misordered_dropped
 
     def InertialMeas(self, ts: float, gyro, accel):
-        gyro = np.asarray(gyro, float)
-        accel = np.asarray(accel, float)
+        self._push(ts, "imu", (np.asarray(gyro, float),
+                               np.asarray(accel, float)))
+
+    def _inertial_meas_internal(self, ts: float, gyro, accel):
         if not self.gravity_initialized:
             self._grav_buf.append(accel)
             if len(self._grav_buf) >= max(self.cfg.gravity_init_counter, 1):
@@ -96,14 +170,24 @@ class Estimator:
 
         `image` is an (H, W) array or a path loadable by io.load_image —
         mirroring pyxivo's dual path/array binding
-        (pybind11/pyxivo.cpp:46-78).
+        (pybind11/pyxivo.cpp:46-78). With online temporal calibration,
+        the CURRENT td estimate shifts the message's ordering stamp at
+        push time (src/estimator.cpp:943-951); the propagation interval
+        itself is corrected in-graph (propagate_frame's dt_eff), so the
+        shift is not applied twice.
         """
         if isinstance(image, str):
             from ..io import load_image
             image = load_image(image)
         image = np.asarray(image, np.float32)
         if self.tracker_only:
-            return self.VisualMeasTrackerOnly(ts, image)
+            self._push(ts, "image_tracker", image)
+            return
+        order_ts = ts + float(self.state.X.td) \
+            if self.cfg.online_temporal_calib else None
+        self._push(ts, "image", image, order_ts=order_ts)
+
+    def _visual_meas_internal(self, ts: float, image):
         if not self.gravity_initialized:
             return
         if self._fes is None:
@@ -111,8 +195,6 @@ class Estimator:
             self._fes = init_frontend(self.cfg)
             self._image_step = jax.jit(partial(vio_frame_image, self.cfg),
                                        donate_argnums=(0, 1))
-        if self.cfg.online_temporal_calib:
-            ts = ts + float(self.state.X.td)
         if not self.vision_initialized:
             self.vision_initialized = True
             self._last_prop_time = ts
@@ -142,14 +224,18 @@ class Estimator:
 
     def VisualMeasPointCloud(self, ts: float, ids, xp_and_depths):
         """Synthetic-measurement frame (VisualMeasPointCloudInternal)."""
-        if self.tracker_only:
-            return self.VisualMeasPointCloudTrackerOnly(ts, ids,
-                                                        xp_and_depths)
-        if not self.gravity_initialized:
-            return
         ids = np.asarray(ids)
         xpd = np.asarray(xp_and_depths, float).reshape(-1, 3)
+        if self.tracker_only:
+            self._push(ts, "pc_tracker", (ids, xpd))
+            return
+        order_ts = ts + float(self.state.X.td) \
+            if self.cfg.online_temporal_calib else None
+        self._push(ts, "pc", (ids, xpd), order_ts=order_ts)
 
+    def _visual_meas_pc_internal(self, ts: float, ids, xpd):
+        if not self.gravity_initialized:
+            return
         if not self.vision_initialized:
             self.vision_initialized = True
             self._last_prop_time = ts
@@ -164,7 +250,9 @@ class Estimator:
         if isinstance(image, str):
             from ..io import load_image
             image = load_image(image)
-        image = np.asarray(image, np.float32)
+        self._push(ts, "image_tracker", np.asarray(image, np.float32))
+
+    def _visual_tracker_only_internal(self, ts: float, image):
         if self._fes is None:
             from ..frontend import init_frontend, tracker_only_frame
             self._fes = init_frontend(self.cfg)
@@ -178,9 +266,12 @@ class Estimator:
     def VisualMeasPointCloudTrackerOnly(self, ts: float, ids,
                                         xp_and_depths):
         """Point-cloud tracker association only, no filter."""
+        self._push(ts, "pc_tracker",
+                   (np.asarray(ids),
+                    np.asarray(xp_and_depths, float).reshape(-1, 3)))
+
+    def _visual_pc_tracker_only_internal(self, ts: float, ids, xpd):
         from ..filter.pipeline import tracker_pointcloud
-        ids = np.asarray(ids)
-        xpd = np.asarray(xp_and_depths, float).reshape(-1, 3)
         if not hasattr(self, "_pc_tracker_step") \
                 or self._pc_tracker_step is None:
             self._pc_tracker_step = jax.jit(
@@ -555,7 +646,10 @@ class Estimator:
                       vision_initialized=self.vision_initialized,
                       last_prop_time=self._last_prop_time,
                       pending_imu=self._pending_imu,
-                      grav_buf=self._grav_buf))
+                      grav_buf=self._grav_buf,
+                      reorder_buf=list(self._buf),
+                      clock=self._clock,
+                      n_misordered=self._n_misordered_dropped))
         with open(path, "wb") as f:
             pickle.dump(blob, f)
 
@@ -575,3 +669,7 @@ class Estimator:
         self._last_prop_time = m["last_prop_time"]
         self._pending_imu = m.get("pending_imu", [])
         self._grav_buf = m.get("grav_buf", [])
+        self._buf = list(m.get("reorder_buf", []))
+        heapq.heapify(self._buf)
+        self._clock = m.get("clock", -float("inf"))
+        self._n_misordered_dropped = m.get("n_misordered", 0)

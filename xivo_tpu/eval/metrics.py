@@ -13,22 +13,37 @@ import numpy as np
 
 
 def associate(t_est, t_gt, max_difference=0.001):
-    """Timestamp association (tum associate.py): nearest-neighbor pairs
-    within max_difference, greedy by time distance."""
-    pairs = []
-    j = 0
-    used = set()
+    """Timestamp association with the TUM protocol's GLOBAL best-pair
+    semantics (scripts/tum_rgbd_benchmark_tools/associate.py:76-105):
+    enumerate ALL candidate pairs with |dt| strictly below
+    max_difference, sort them by (|dt|, t_first, t_second), and take
+    pairs greedily without reusing either side. This differs from
+    first-come nearest-neighbor matching on jittery stamps — an earlier
+    estimate must not steal a GT stamp that a later estimate matches
+    more closely. Returns (i_est, i_gt) index pairs sorted by i_est.
+    """
+    t_est = np.asarray(t_est, float)
+    t_gt = np.asarray(t_gt, float)
+    # candidate generation: GT stamps within the window of each estimate
+    # (sorted GT assumed, as produced by every loader here); equivalent
+    # to the reference's full cross product filtered by the window.
+    lo = np.searchsorted(t_gt, t_est - max_difference, side="left")
+    hi = np.searchsorted(t_gt, t_est + max_difference, side="right")
+    cand = []
     for i, t in enumerate(t_est):
-        k = np.searchsorted(t_gt, t)
-        best, bestd = -1, max_difference
-        for kk in (k - 1, k):
-            if 0 <= kk < len(t_gt) and kk not in used:
-                d = abs(t_gt[kk] - t)
-                if d <= bestd:
-                    best, bestd = kk, d
-        if best >= 0:
-            pairs.append((i, best))
-            used.add(best)
+        for k in range(lo[i], hi[i]):
+            d = abs(t_gt[k] - t)
+            if d < max_difference:
+                cand.append((d, t, t_gt[k], i, k))
+    cand.sort()
+    used_e, used_g = set(), set()
+    pairs = []
+    for d, te, tg, i, k in cand:
+        if i not in used_e and k not in used_g:
+            used_e.add(i)
+            used_g.add(k)
+            pairs.append((i, k))
+    pairs.sort()
     return pairs
 
 

@@ -213,6 +213,14 @@ class VIOConfig:
     map_merge_on_retire: bool = True
     map_merge_radius: float = 0.5
 
+    # out-of-order message buffering (src/estimator.h:556-561,
+    # MESSAGE_BUFFER_SIZE default 10; drained in src/estimator.cpp:
+    # 923-941): messages are timestamp-heap-ordered and executed only
+    # once the buffer holds more than this many; stragglers older than
+    # the executed clock are dropped. 0 = immediate dispatch (replay
+    # drivers feed pre-sorted streams); live/sensor mode wants ~10.
+    message_buffer_size: int = 0
+
     # IMU clamp
     clamp_signals: bool = False
     max_accel: Tuple[float, float, float] = (20.0, 20.0, 20.0)

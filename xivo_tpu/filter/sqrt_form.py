@@ -147,12 +147,13 @@ def sqrt_update(S: jnp.ndarray, H: jnp.ndarray, inn: jnp.ndarray,
     nothing). One-shot downdate (module docstring):
 
         W  = L^-1 (H S),  L = chol(H P H^T + R)
-        S+ = S - (S W^T) (G W),  G = (I + sqrtm(I - W W^T))^{-1}
+        S+ = S - (S W^T) (I + Gam)^{-1} W,  Gam = L^-1 diag(sqrt(R))
         err = (S W^T) (L^-1 inn)
 
-    Exact for the fixed linearization; the m x m symmetric square root
-    comes from one eigendecomposition (eig(W W^T) in [0, 1) since
-    R > 0, so I - W W^T is PD).
+    Exact for the fixed linearization: Gam is lower-triangular with
+    Gam Gam^T = I - W W^T algebraically (module docstring), so the
+    whole update is one small Cholesky + triangular solves + matmuls —
+    no eigendecomposition or matrix square root anywhere.
 
     Returns (err (D,), S_new).
     """

@@ -170,8 +170,15 @@ def _track_level(prev_img, next_img, pts_prev, guesses, valid, half: int,
 
     def body(carry):
         i, pt, done, escaped = carry
-        for _ in range(UNROLL):
-            pt, done, escaped = gn_step(pt, done, escaped)
+        for k in range(UNROLL):
+            # per-step budget mask: without it, iters % UNROLL != 0
+            # would run up to UNROLL-1 GN steps beyond the configured
+            # budget for still-unconverged tracks (advisor r2)
+            ok_budget = (i + k) < iters
+            pt2, done2, esc2 = gn_step(pt, done, escaped)
+            pt = jnp.where(ok_budget, pt2, pt)
+            done = jnp.where(ok_budget, done2, done)
+            escaped = jnp.where(ok_budget, esc2, escaped)
         return i + UNROLL, pt, done, escaped
 
     # whole-table early exit: with the filter-predicted initial flow most

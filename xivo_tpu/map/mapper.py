@@ -101,6 +101,19 @@ def map_insert(ms: MapState, Xs, desc, valid, cov=None, gid=None,
         nnd = jnp.min(D, axis=1)
         close = jnp.linalg.norm(Xs - ms.Xs[nnc], axis=1) < merge_radius
         merge = valid & (nnd < nn_dist_thresh) & close
+        # dedup per target: several same-batch retirees matching the
+        # same map entry would be last-write-wins on the scatter below,
+        # each fused against the ORIGINAL P1 — all but one measurement
+        # silently lost (advisor r2). Keep the lowest-Hamming candidate
+        # per target (ties -> lowest row); losers insert as new entries.
+        n = Xs.shape[0]
+        idx = jnp.arange(n)
+        same_tgt = merge[:, None] & merge[None, :] \
+            & (nnc[:, None] == nnc[None, :])
+        beaten = same_tgt & ((nnd[None, :] < nnd[:, None])
+                             | ((nnd[None, :] == nnd[:, None])
+                                & (idx[None, :] < idx[:, None])))
+        merge = merge & ~jnp.any(beaten, axis=1)
         # covariance-weighted fusion: x+ = x1 + P1 (P1+P2)^-1 (x2 - x1),
         # P+ = P1 - P1 (P1+P2)^-1 P1  (information-form fusion without
         # inverting the individual covariances)

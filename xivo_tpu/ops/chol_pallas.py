@@ -67,7 +67,13 @@ def _chol_kernel(x_ref, out_ref, *, Dp: int, T: int, Bc: int):
             rowmask = (row_l == t).astype(jnp.float32)
             piv2 = jnp.sum(colv * rowmask, axis=1,
                            keepdims=True)                    # (Bc,1,1)
-            col = colv * jax.lax.rsqrt(jnp.maximum(piv2, 1e-30))
+            # masked-Cholesky semantics: a pivot at/below the floor
+            # means the direction is empty (or numerically dead) — zero
+            # the whole column instead of dividing by ~1e-15 and
+            # flooding it with ~1e8-scale garbage (advisor r2)
+            col = jnp.where(piv2 > 1e-30,
+                            colv * jax.lax.rsqrt(jnp.maximum(piv2, 1e-30)),
+                            0.0)
             col = jnp.where(row_l >= t, col, 0.0)
             # L[base:base+T, j] as lanes, via one-hot reduce (no
             # transpose, no dynamic slice)
