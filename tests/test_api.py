@@ -202,3 +202,37 @@ def test_message_reordering_drops_stragglers():
     est.InertialMeas(straggler, g, a)
     est.flush()
     assert est.num_misordered_dropped() == 1
+
+
+def test_rejection_counters_wired():
+    """num_tracker_outlier_rejected / num_oneptransac_rejected report
+    real per-frame counts (VERDICT r2 #9; Tracker counters
+    src/tracker.h:47-51, pyxivo.cpp:332-398)."""
+    cfg = config_from_json(PCW_CFG, dtype="float64",
+                           sim_initialize_depths=True,
+                           do_outlier_rejection=True,
+                           use_1pt_RANSAC=True)
+    est = Estimator(cfg)
+    imu = get_imu_sim("gentle", T=3.0, noise_accel=0, noise_gyro=0, seed=1)
+    pcw = RandomPCW([-10, 10], [-10, 10], [-5, 5], n_points=300, seed=0)
+    K = np.array([[275.0, 0, 320], [0, 275, 240], [0, 0, 1]])
+    Rbc, Tbc = est.gbc()
+    rng = np.random.default_rng(7)
+    total_trk = 0
+    for i, t in enumerate(np.arange(0, 1.5, 0.05)):
+        for ti in np.arange(t, t + 0.05, 0.01):
+            a, g = imu.meas(ti)
+            est.InertialMeas(ti, g, a)
+        Rsb, Tsb = imu.gsb(t + 0.05)
+        ids, xpd = pcw.generate_measurements(
+            Rsb @ Rbc, Rsb @ Tbc + Tsb, K, 640, 480, 0.0)
+        if i >= 5 and len(xpd) > 20:
+            # corrupt a handful of tracked pixels hard: the homography
+            # gate must reject them
+            xpd = np.array(xpd, float)
+            xpd[:8, :2] += rng.uniform(60, 90, size=(8, 2))
+        est.VisualMeasPointCloud(t + 0.05, ids, xpd)
+        assert est.num_tracker_outlier_rejected() >= 0
+        assert est.num_oneptransac_rejected() >= 0
+        total_trk += est.num_tracker_outlier_rejected()
+    assert total_trk > 0, "corrupted tracks never counted as rejected"

@@ -78,3 +78,32 @@ def test_oos_cap_overflow_is_reported():
     beyond the cap surface in StepOutputs.num_oos_dropped."""
     _, outs = _churn_scenario(use_OOS=True, oos_feature_cap=1)
     assert int(np.asarray(outs.num_oos_dropped).max()) > 0
+
+
+def test_householder_nullspace_matches_qr():
+    """The 3-reflector sweep must (a) annihilate Hf, (b) carry the same
+    information as the complete-QR projection: row spans of the
+    projected [Hx|inn] agree (equal up to a left orthogonal mix)."""
+    from xivo_tpu.filter.oos import _householder_nullspace
+    rng = np.random.default_rng(3)
+    m, D = 16, 20
+    Hf = jnp.asarray(rng.standard_normal((m, 3)))
+    Hf = Hf.at[9:].set(0.0)  # masked observations
+    Hx = jnp.asarray(rng.standard_normal((m, D)))
+    inn = jnp.asarray(rng.standard_normal((m,)))
+    Ho, inn_o = _householder_nullspace(Hf, Hx, inn)
+    assert Ho.shape == (m - 3, D)
+    # (a) orthogonal to the landmark Jacobian: rows of Q^T Hf below 3
+    # are zero, so Ho rows carry no Hf component; verify via the
+    # information identity instead of reconstructing Q:
+    Q, _ = jnp.linalg.qr(Hf, mode="complete")
+    A = Q[:, 3:]
+    Ho_qr = A.T @ Hx
+    inn_qr = A.T @ inn
+    M1 = np.concatenate([np.asarray(Ho), np.asarray(inn_o)[:, None]], 1)
+    M2 = np.concatenate([np.asarray(Ho_qr), np.asarray(inn_qr)[:, None]], 1)
+    # (b) same Gram = same EKF update under iid R
+    np.testing.assert_allclose(M1.T @ M1, M2.T @ M2, atol=1e-9)
+    # direct annihilation check: projecting Hf itself gives zero rows
+    Hf_proj, _ = _householder_nullspace(Hf, Hf, inn * 0)
+    np.testing.assert_allclose(np.asarray(Hf_proj), 0.0, atol=1e-10)

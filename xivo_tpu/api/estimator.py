@@ -575,11 +575,14 @@ class Estimator:
         return self.cfg.use_mapper
 
     def num_oneptransac_rejected(self):
-        # folded into the joint rejection counter (see StepOutputs)
-        return self.num_mh_rejected()
+        o = self._last_out
+        return int(o.num_oneptransac_rejected) if o is not None else 0
 
     def num_tracker_outlier_rejected(self):
-        return 0  # homography outlier rejection not yet wired
+        """Homography-RANSAC rejects this frame (Tracker counter
+        parity, src/tracker.h:47-51 via pyxivo.cpp:332-398)."""
+        o = self._last_out
+        return int(o.num_tracker_outlier_rejected) if o is not None else 0
 
     def num_tracker_failed_to_track(self):
         fr = self.state.features

@@ -10,10 +10,13 @@ update at marginalization time.
 
 TPU shape: each candidate feature produces a fixed (2G, D) Jacobian
 over the instate group slots (masked rows for slots that did not
-observe it), the landmark direction is eliminated with one complete-QR
-nullspace projection (jnp.linalg.qr replaces the reference's Givens
-sweeps — same algebra, one fused kernel), and all surviving rows join a
-single Joseph update with R = oos_meas_std^2.
+observe it), the landmark direction is eliminated with THREE
+closed-form Householder reflectors (straight-line code — the algebra
+of the reference's Givens sweeps, src/helpers.cpp:48-75, without
+XLA's catastrophic per-panel QR lowering on TPU), and all surviving
+rows join a single Joseph update with R = oos_meas_std^2. Stacked-row
+measurement compression is likewise QR-free: a Gram + masked-Cholesky
+square root of the information (exactly equivalent for iid R).
 """
 from __future__ import annotations
 
@@ -24,10 +27,47 @@ import jax.numpy as jnp
 
 from .. import cam as cam_mod
 from ..geom import so3
+from ..ops.dense import HIGHEST
 from . import layout as L
 from .config import VIOConfig
 from .features import project_persp, unproject_logz
 from .state import VIOState
+
+
+def _householder_nullspace(Hf, Hx, inn):
+    """Left-nullspace projection of the (m, 3) landmark Jacobian by a
+    fixed sweep of THREE closed-form Householder reflectors.
+
+    Replaces ``jnp.linalg.qr(Hf, mode="complete")`` — whose XLA TPU
+    lowering runs a serialized panel loop (~26 ms/frame-batch at these
+    shapes, ARCHITECTURE.md) — with straight-line VPU code: apply the
+    reflectors that triangularize Hf to [Hx | inn] and keep rows 3:,
+    i.e. the last m-3 rows of Q^T [Hx | inn]. Equal to A^T [Hx | inn]
+    (A = Q[:, 3:]) up to a left orthogonal transform, which preserves
+    the EKF update exactly under iid measurement noise. Masked (zero)
+    rows of Hf pass through untouched and stay zero. Parity anchor:
+    the reference's Givens elimination (src/helpers.cpp:48-75) used by
+    SlowGivens in src/oos.cpp:8-89.
+
+    Returns (Ho (m-3, D), inn_o (m-3,)).
+    """
+    m = Hf.shape[0]
+    dtype = Hf.dtype
+    ridx = jnp.arange(m)
+    M = jnp.concatenate([Hx, inn[:, None]], axis=1)
+    A = Hf
+    for k in range(3):
+        x = jnp.where(ridx >= k, A[:, k], jnp.zeros((), dtype))
+        nx = jnp.sqrt(jnp.sum(x * x))
+        sign = jnp.where(x[k] >= 0, 1.0, -1.0).astype(dtype)
+        v = x + (sign * nx) * (ridx == k).astype(dtype)
+        vn2 = jnp.sum(v * v)
+        ok = vn2 > 1e-24
+        beta = jnp.where(ok, 2.0 / jnp.where(ok, vn2, 1.0),
+                         jnp.zeros((), dtype))
+        A = A - beta * jnp.outer(v, v @ A)
+        M = M - beta * jnp.outer(v, v @ M)
+    return M[3:, :-1], M[3:, -1]
 
 
 def _oos_rows_for_feature(cfg: VIOConfig, s: VIOState, row):
@@ -100,11 +140,8 @@ def _oos_rows_for_feature(cfg: VIOConfig, s: VIOState, row):
     inn = jnp.concatenate(inn)          # (2G,)
     nobs = jnp.sum(jnp.stack(good).astype(jnp.int32))
 
-    # left-nullspace projection of Hf: A = Q[:, 3:] of complete QR
-    Q, _ = jnp.linalg.qr(Hf, mode="complete")  # (2G, 2G)
-    A = Q[:, 3:]
-    Ho = A.T @ Hx                      # (2G-3, D)
-    inn_o = A.T @ inn
+    # left-nullspace projection of Hf via 3 Householder reflectors
+    Ho, inn_o = _householder_nullspace(Hf, Hx, inn)
     # valid rows: nonzero projected Jacobian + enough observations
     enough = nobs >= cfg.OOS_min_observations
     rownorm = jnp.linalg.norm(Ho, axis=1)
@@ -174,12 +211,25 @@ def oos_update(cfg: VIOConfig, s: VIOState, candidate_rows):
 
     if cfg.use_compression and Hm.shape[0] > int(
             cfg.compression_trigger_ratio * d.full):
-        # QR measurement compression (use_compression): with iid noise
-        # the orthogonal transform Q^T preserves the information —
-        # rows shrink from the stack size to D
-        Q, Rr = jnp.linalg.qr(Hm, mode="reduced")   # (rows,D),(D,D)
-        Hm = Rr
-        innm = Q.T @ innm
+        # Measurement compression (use_compression, the reference's
+        # present-but-unused QR at src/helpers.cpp:77-101): with iid
+        # noise the EKF update depends on H only through H^T H and
+        # H^T inn, so ANY (Hc, innc) with Hc^T Hc = H^T H and
+        # Hc^T innc = H^T inn is exactly equivalent. One masked
+        # Cholesky of the bordered Gram [[H^T H, H^T inn], [., |inn|^2]]
+        # = [[L, 0], [w^T, .]] yields Hc = L^T AND innc = w = L^-1
+        # H^T inn together — no QR, no triangular solve (both
+        # catastrophic XLA TPU lowerings, ARCHITECTURE.md). Rows shrink
+        # from the stack size to D.
+        from ..ops.chol_pallas import cholesky_psd
+        Mb = jnp.concatenate([Hm, innm[:, None]], axis=1)  # (rows, D+1)
+        Gb = jnp.matmul(Mb.T, Mb, precision=HIGHEST)       # (D+1, D+1)
+        rel = 1e-12 if dtype == jnp.float64 else 1e-6
+        Gb = Gb + (rel * jnp.diagonal(Gb)) * jnp.eye(d.full + 1,
+                                                     dtype=dtype)
+        Lb = cholesky_psd(Gb)
+        Hm = Lb[:d.full, :d.full].T                        # (D, D) upper
+        innm = Lb[d.full, :d.full]                         # L^-1 H^T inn
         rv = jnp.linalg.norm(Hm, axis=1) > 1e-10
         diagRm = jnp.where(rv, Roos, 1.0)
         Hm = Hm * rv[:, None].astype(dtype)

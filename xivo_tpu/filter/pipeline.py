@@ -192,6 +192,7 @@ def tracker_pointcloud(cfg: VIOConfig, s: VIOState, meas_id, meas_xp,
         < cfg.max_pixel_displacement
     tracked = has_match & disp_ok
 
+    n_rej = jnp.zeros((), jnp.int32)
     if cfg.do_outlier_rejection:
         # homography-consistency rejection for the point-cloud tracker
         # (the reference wires Tracker::OutlierRejection only in LK
@@ -201,7 +202,9 @@ def tracker_pointcloud(cfg: VIOConfig, s: VIOState, meas_id, meas_xp,
         s = s._replace(key=key)
         inl, hok = homography_ransac(sub, fr.xp, mxp, tracked,
                                      thresh=cfg.homography_reproj_thresh)
+        n_rej = jnp.sum((tracked & ~inl).astype(jnp.int32))
         tracked = tracked & inl
+    s = s._replace(n_tracker_rejected=n_rej)
 
     dropped = active & ~tracked
 
@@ -993,6 +996,12 @@ class StepOutputs(NamedTuple):
     num_instate_groups: jnp.ndarray
     num_tracked: jnp.ndarray
     num_mh_rejected: jnp.ndarray
+    # 1-pt RANSAC rejects, split from the MH count (the reference binds
+    # them separately: num_oneptransac_rejected, pyxivo.cpp:332-398)
+    num_oneptransac_rejected: jnp.ndarray
+    # homography-RANSAC tracker rejects (Tracker counters,
+    # src/tracker.h:47-51)
+    num_tracker_outlier_rejected: jnp.ndarray
     inn_rms: jnp.ndarray
     # OOS candidates beyond cfg.oos_feature_cap this frame (0 when
     # use_OOS is off) — the no-silent-caps diagnostic
@@ -1060,6 +1069,7 @@ def _update_step_impl(cfg: VIOConfig, s: VIOState
     s, structure_changed = _discard_affected_groups(cfg, s, affected)
     s = _refresh_gauge_features(cfg, s)
 
+    num_1pt = jnp.zeros((), jnp.int32)
     if cfg.use_1pt_RANSAC:
         s, inlier_slots, ransac_rej = _one_pt_ransac(cfg, s, inlier_slots)
         rej_rows_idx = jnp.where(ransac_rej, s.f2row, -1)
@@ -1070,7 +1080,7 @@ def _update_step_impl(cfg: VIOConfig, s: VIOState
         affected2 = jnp.any(
             (rej_rows & (s.features.ref >= 0))[:, None]
             & (s.features.ref[:, None] == jnp.arange(NG)[None, :]), axis=0)
-        num_rej = num_rej + jnp.sum(ransac_rej.astype(jnp.int32))
+        num_1pt = jnp.sum(ransac_rej.astype(jnp.int32))
         s = _remove_features_from_state(cfg, s, rej_rows)
         s = s._replace(features=_clear_feature_rows(s.features, rej_rows))
         s, ch2 = _discard_affected_groups(cfg, s, affected2)
@@ -1137,7 +1147,10 @@ def _update_step_impl(cfg: VIOConfig, s: VIOState
         num_instate_groups=jnp.sum((s.g2row >= 0).astype(jnp.int32)),
         num_tracked=jnp.sum((s.features.track == TS_TRACKED)
                             .astype(jnp.int32)),
-        num_mh_rejected=num_rej, inn_rms=inn_rms,
+        num_mh_rejected=num_rej,
+        num_oneptransac_rejected=num_1pt,
+        num_tracker_outlier_rejected=s.n_tracker_rejected,
+        inn_rms=inn_rms,
         num_oos_dropped=n_oos_dropped)
     return s, out
 

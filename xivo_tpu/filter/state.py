@@ -133,6 +133,10 @@ class VIOState(NamedTuple):
     oc_R: jnp.ndarray            # (3,3)
     oc_V: jnp.ndarray            # (3,)
     oc_T: jnp.ndarray            # (3,)
+    # tracker outlier-rejection count of the CURRENT frame (homography
+    # RANSAC rejects; the reference's Tracker::num_outlier_rejected_,
+    # src/tracker.h:47-51, bound in pybind11/pyxivo.cpp:332-398)
+    n_tracker_rejected: jnp.ndarray  # () int32
 
 
 def init_state(cfg: VIOConfig, key=None) -> VIOState:
@@ -246,6 +250,7 @@ def init_state(cfg: VIOConfig, key=None) -> VIOState:
         key=key,
         # distinct buffers (shared ones break donation in the runners)
         oc_R=X.Rsb.copy(), oc_V=X.Vsb.copy(), oc_T=X.Tsb.copy(),
+        n_tracker_rejected=jnp.asarray(0, jnp.int32),
     )
 
 

@@ -93,6 +93,7 @@ def tracker_image(cfg: VIOConfig, s: VIOState, fes: FrontendState,
         < cfg.max_pixel_displacement
     tracked = active & ok & disp_ok
 
+    n_rej = jnp.zeros((), jnp.int32)
     if cfg.do_outlier_rejection:
         # homography-consistency rejection (Tracker::OutlierRejection,
         # src/tracker.cpp:705-753)
@@ -102,7 +103,9 @@ def tracker_image(cfg: VIOConfig, s: VIOState, fes: FrontendState,
         inl, hok = homography_ransac(
             sub, fr.xp, new_xy, tracked,
             thresh=cfg.homography_reproj_thresh)
+        n_rej = jnp.sum((tracked & ~inl).astype(jnp.int32))
         tracked = tracked & inl
+    s = s._replace(n_tracker_rejected=n_rej)
 
     if cfg.extract_descriptor and cfg.descriptor_distance_thresh > 0:
         # descriptor-drift check on tracked points (UpdateLK's optional
@@ -280,6 +283,7 @@ def tracker_match(cfg: VIOConfig, s: VIOState, fes: FrontendState,
         has = has & (best_val < cfg.descriptor_distance_thresh)
     matched = fr.active & has & disp_ok
 
+    n_rej = jnp.zeros((), jnp.int32)
     if cfg.do_outlier_rejection:
         from .homography import homography_ransac
         key, sub = jax.random.split(s.key)
@@ -287,7 +291,9 @@ def tracker_match(cfg: VIOConfig, s: VIOState, fes: FrontendState,
         inl, hok = homography_ransac(
             sub, fr.xp, new_xy, matched,
             thresh=cfg.homography_reproj_thresh)
+        n_rej = jnp.sum((matched & ~inl).astype(jnp.int32))
         matched = matched & inl
+    s = s._replace(n_tracker_rejected=n_rej)
 
     dropped = fr.active & ~matched
     fr = fr._replace(

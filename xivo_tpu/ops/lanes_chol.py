@@ -1,0 +1,225 @@
+"""Batch-in-LANES Cholesky (and triangular inverse) Pallas kernels.
+
+The square-root filter needs two batched factorizations per frame:
+the (D, D) re-compression Cholesky and the (m, m) innovation Cholesky
+whose inverse drives the factor downdate (filter/sqrt_form.py). Both
+are SMALL matrices at LARGE batch — the worst case for XLA's
+``lax.linalg`` lowerings, which run their column recursions per batch
+item (measured ~9.3 ms for chol(228)x256 on v5e, ~0.7 ms per
+triangular solve at (60, 60)x256).
+
+Kernel layout: the matrices are stored (m, m, B) with the BATCH in the
+lane dimension. Every sequential step of the factorization — the
+irreducible O(m) dependency chain — then runs as a fully
+batch-vectorized VPU op with STATIC indices (the column loop is
+Python-unrolled, so there is no one-hot masking and no dynamic
+slicing anywhere). Total sequential depth is m, not grid x m as in
+the sublane-batch kernel (ops/chol_pallas.py), and the FMA count is
+the textbook m^3/3 x B. Two Mosaic-dictated shapes rules: everything
+stays rank-3 (a (r, 1, B) x (1, r, B) broadcast replaces the outer
+product — expand_dims across the sublane/untiled boundary lowers to a
+gather), and the symmetric upper half of the work matrix supplies the
+"transposed" column for the trailing update, so no in-kernel
+transposes exist at all.
+
+Numerical contract (same as chol_pallas): pivots at/below a tiny
+floor zero their column — masked-Cholesky semantics, so exactly-zero
+rows/cols (empty slots, gauge-fixed entries, frozen calib states)
+factor to exactly-zero rows/cols. The inverse kernels extend this:
+dead pivots produce zero rows in L^-1, i.e. L^-1 inverts the live
+subspace and annihilates the dead one — exactly what the masked
+filter algebra wants (dead directions carry no information).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_FLOOR = 1e-30
+
+
+def _rs_of(piv3):
+    """(1, 1, Bl) masked reciprocal square root of the pivot."""
+    alive = piv3 > _FLOOR
+    return jnp.where(alive, jax.lax.rsqrt(jnp.maximum(piv3, _FLOOR)), 0.0)
+
+
+def _chol_sweep(work_ref, m: int, on_column=None):
+    """The shared column sweep: factorizes the symmetric (m, m, Bl)
+    work_ref in place; its lower triangle ends as L (upper = garbage,
+    masked by the caller). ``on_column(j, rs3)`` runs after column j of
+    L is final (for the fused-inverse kernel)."""
+    for j in range(m):
+        rs3 = _rs_of(work_ref[j:j + 1, j:j + 1, :])
+        # scaled column of L (rows j:), written in place
+        work_ref[j:, j:j + 1, :] = work_ref[j:, j:j + 1, :] * rs3
+        if j + 1 < m:
+            colA = work_ref[j + 1:, j:j + 1, :]       # scaled (R,1,Bl)
+            rowU = work_ref[j:j + 1, j + 1:, :]       # unscaled (1,R,Bl)
+            # trailing symmetric rank-1 update: v v^T rs^2 via the
+            # symmetry of the work matrix (rowU holds v^T)
+            work_ref[j + 1:, j + 1:, :] = (
+                work_ref[j + 1:, j + 1:, :] - colA * (rowU * rs3))
+        if on_column is not None:
+            on_column(j, rs3)
+
+
+def _chol_lanes_kernel(x_ref, out_ref, *, m: int):
+    out_ref[:] = x_ref[:]
+    _chol_sweep(out_ref, m)
+
+
+def _chol_inv_lanes_kernel(x_ref, l_ref, invt_ref, *, m: int):
+    """Fused Cholesky + explicit inverse. invt_ref accumulates
+    (L^-1)^T: column j of invt = row j of L^-1, finalized right after
+    column j of L — forward substitution interleaved with the sweep.
+    """
+    l_ref[:] = x_ref[:]
+    Bl = l_ref.shape[2]
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (m, 1, Bl), 0)
+
+    def on_column(j, rs3):
+        ejT = (cidx == j).astype(jnp.float32)          # (m, 1, Bl)
+        if j == 0:
+            rowT = ejT * rs3
+        else:
+            # accT[c] = sum_k invT[c, k] * L[j, k], k < j; the L row
+            # slice is the already-final lower triangle of l_ref
+            lrow = l_ref[j:j + 1, :j, :]               # (1, j, Bl)
+            accT = jnp.sum(invt_ref[:, :j, :] * lrow, axis=1,
+                           keepdims=True)              # (m, 1, Bl)
+            rowT = (ejT - accT) * rs3
+        invt_ref[:, j:j + 1, :] = rowT
+
+    _chol_sweep(l_ref, m, on_column)
+
+
+def _tri_inv_lanes_kernel(x_ref, invt_ref, *, m: int):
+    """(L^-1)^T of lower-triangular input (positive-or-dead diagonal),
+    row-wise forward substitution with static indices."""
+    Bl = x_ref.shape[2]
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (m, 1, Bl), 0)
+    for j in range(m):
+        d3 = x_ref[j:j + 1, j:j + 1, :]
+        alive = d3 > _FLOOR
+        rd3 = jnp.where(alive, 1.0 / jnp.where(alive, d3, 1.0), 0.0)
+        ejT = (cidx == j).astype(jnp.float32)
+        if j == 0:
+            rowT = ejT * rd3
+        else:
+            lrow = x_ref[j:j + 1, :j, :]
+            accT = jnp.sum(invt_ref[:, :j, :] * lrow, axis=1,
+                           keepdims=True)
+            rowT = (ejT - accT) * rd3
+        invt_ref[:, j:j + 1, :] = rowT
+
+
+def _pad_lanes(G, Bl):
+    """(B, m, m) -> (m, m, Bp) lanes layout, zero-padded batch."""
+    B = G.shape[0]
+    Bp = int(np.ceil(B / Bl) * Bl)
+    Gt = jnp.moveaxis(G, 0, -1)
+    if Bp != B:
+        Gt = jnp.pad(Gt, ((0, 0), (0, 0), (0, Bp - B)))
+    return Gt, Bp
+
+
+def _tril_mask(m):
+    r = jnp.arange(m)
+    return (r[:, None] >= r[None, :]).astype(jnp.float32)[:, :, None]
+
+
+def _call(kernel, m, Gt, Bp, Bl, n_out=1, alias=True):
+    """Chunked kernel dispatch: one pallas_call per Bl-lane chunk with
+    NO grid — a batched grid double-buffers the (m, m, Bl) blocks and
+    overflows scoped VMEM at m=228 (2 bufs x in/out x 26.6 MB)."""
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((m, m, Bl), jnp.float32)
+    call = pl.pallas_call(
+        functools.partial(kernel, m=m),
+        out_shape=out_shape if n_out == 1 else (out_shape,) * n_out,
+        in_specs=[spec],
+        out_specs=spec if n_out == 1 else (spec,) * n_out,
+        input_output_aliases={0: 0} if alias else {},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+    outs = [call(Gt[:, :, i:i + Bl]) for i in range(0, Bp, Bl)]
+    if n_out == 1:
+        return jnp.concatenate(outs, axis=-1)
+    return tuple(jnp.concatenate([o[k] for o in outs], axis=-1)
+                 for k in range(n_out))
+
+
+@functools.partial(jax.jit, static_argnames=("lane_block",))
+def chol_lanes(G: jnp.ndarray, lane_block: int = 128) -> jnp.ndarray:
+    """Lower Cholesky of (B, m, m) PSD float32, batch-in-lanes kernel.
+
+    Falls back to the masked XLA cholesky off-TPU / for float64.
+    """
+    if jax.default_backend() != "tpu" or G.dtype != jnp.float32:
+        return _chol_fallback(G)
+    B, m, _ = G.shape
+    Bl = max(128, (lane_block // 128) * 128)
+    Gt, Bp = _pad_lanes(G, Bl)
+    out = _call(_chol_lanes_kernel, m, Gt, Bp, Bl)
+    out = out * _tril_mask(m)     # upper half held symmetric work data
+    return jnp.moveaxis(out[:, :, :B], -1, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("lane_block",))
+def chol_inv_lanes(G: jnp.ndarray, lane_block: int = 256):
+    """(L, L^-1) of (B, m, m) PSD float32 in one fused kernel pass.
+
+    Designed for the m x m innovation factor (m <= ~128): with L^-1
+    explicit, every downstream triangular solve becomes an MXU matmul.
+    """
+    if jax.default_backend() != "tpu" or G.dtype != jnp.float32:
+        L = _chol_fallback(G)
+        return L, _tri_inv_fallback(L)
+    B, m, _ = G.shape
+    Bl = max(128, (lane_block // 128) * 128)
+    Gt, Bp = _pad_lanes(G, Bl)
+    L, LinvT = _call(_chol_inv_lanes_kernel, m, Gt, Bp, Bl, n_out=2)
+    L = L * _tril_mask(m)
+    # invt[c, j] = L^-1[j, c]; moveaxis-to-batch then swap the last two
+    return (jnp.moveaxis(L[:, :, :B], -1, 0),
+            jnp.swapaxes(jnp.moveaxis(LinvT[:, :, :B], -1, 0), -1, -2))
+
+
+@functools.partial(jax.jit, static_argnames=("lane_block",))
+def tri_inv_lanes(L: jnp.ndarray, lane_block: int = 256) -> jnp.ndarray:
+    """Explicit inverse of (B, m, m) lower-triangular float32 matrices
+    (positive or dead-zero diagonals)."""
+    if jax.default_backend() != "tpu" or L.dtype != jnp.float32:
+        return _tri_inv_fallback(L)
+    B, m, _ = L.shape
+    Bl = max(128, (lane_block // 128) * 128)
+    Lt, Bp = _pad_lanes(L, Bl)
+    out = _call(_tri_inv_lanes_kernel, m, Lt, Bp, Bl, alias=False)
+    return jnp.swapaxes(jnp.moveaxis(out[:, :, :B], -1, 0), -1, -2)
+
+
+def _chol_fallback(G):
+    """Masked XLA cholesky: unit pivot on empty rows, re-zeroed after."""
+    diag = jnp.diagonal(G, axis1=-2, axis2=-1)
+    keep = diag > _FLOOR
+    eye = jnp.eye(G.shape[-1], dtype=G.dtype)
+    Gm = jnp.where(keep[..., :, None] & keep[..., None, :], G, eye)
+    L = jnp.linalg.cholesky(Gm)
+    return jnp.where(keep[..., :, None], L, 0.0)
+
+
+def _tri_inv_fallback(L):
+    diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+    keep = diag > _FLOOR
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    Lm = jnp.where(keep[..., :, None] & keep[..., None, :], L, eye)
+    inv = jax.scipy.linalg.solve_triangular(
+        Lm, jnp.broadcast_to(eye, L.shape), lower=True)
+    return jnp.where(keep[..., :, None], inv, 0.0)

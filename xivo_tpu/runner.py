@@ -153,7 +153,9 @@ def _out_struct(cfg):
     z = 0
     return StepOutputs(Rsb=z, Tsb=z, Vsb=z, num_instate_features=z,
                        num_instate_groups=z, num_tracked=z,
-                       num_mh_rejected=z, inn_rms=z, num_oos_dropped=z)
+                       num_mh_rejected=z, num_oneptransac_rejected=z,
+                       num_tracker_outlier_rejected=z, inn_rms=z,
+                       num_oos_dropped=z)
 
 
 def batch_states(cfg: VIOConfig, B: int) -> VIOState:
