@@ -160,3 +160,47 @@ def test_batch_runner_matches_single():
     for b in range(B):
         assert np.allclose(np.asarray(ob.Tsb)[b, -1],
                            np.asarray(o1.Tsb)[-1], atol=1e-9)
+
+
+def test_admission_score_type_semantics():
+    """comparison_score_type changes the candidate ranking per
+    Criteria::CandidateComparison (src/options.cpp:35-61): a feature
+    with tiny depth variance but huge XY variance outranks under
+    DepthUncertainty yet loses under CovarianceDiagNorm; an
+    outlier-count penalty flips a third pair."""
+    import dataclasses
+    import jax.numpy as jnp
+    from xivo_tpu.filter.config import config_from_json
+    from xivo_tpu.filter.pipeline import _admission_score
+    from xivo_tpu.filter.state import FS_READY, init_state
+
+    cfg = config_from_json(PCW_CFG, dtype="float64")
+    s = init_state(cfg)
+    fr = s.features
+    # row 0: depth var 0.01, xy var 100 ; row 1: depth var 0.02, xy var 0.02
+    P0 = jnp.diag(jnp.asarray([100.0, 100.0, 0.01]))
+    P1 = jnp.diag(jnp.asarray([0.02, 0.02, 0.02]))
+    fr = fr._replace(
+        Psub=fr.Psub.at[0].set(P0).at[1].set(P1),
+        status=fr.status.at[0].set(FS_READY).at[1].set(FS_READY),
+        outlier_counter=fr.outlier_counter.at[1].set(200.0))
+
+    sc = _admission_score(cfg, fr)
+    assert float(sc[0]) < float(sc[1])   # depth-only: row 0 wins
+
+    cfg2 = dataclasses.replace(cfg,
+                               comparison_score_type="CovarianceDiagNorm")
+    sc2 = _admission_score(cfg2, fr)
+    assert float(sc2[1]) < float(sc2[0])  # diag norm: row 1 wins
+
+    # outlier penalty makes row 1's score much worse than plain norm
+    cfg3 = dataclasses.replace(
+        cfg, comparison_score_type="CovarianceDiagNormPlusOutlierCount")
+    sc3 = _admission_score(cfg3, fr)
+    assert float(sc3[1]) > float(sc2[1]) + 100.0
+    assert float(sc3[0]) < float(sc3[1])  # penalty flips the pair back
+
+    # invalid value rejected at config construction
+    import pytest
+    with pytest.raises(ValueError):
+        dataclasses.replace(cfg, comparison_score_type="bogus")

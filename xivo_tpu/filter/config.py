@@ -151,6 +151,10 @@ class VIOConfig:
     # dropped below this bound — i.e. whose depth has become observable.
     # inf reproduces the reference's admit-after-ready_steps behavior.
     max_depth_var_for_admission: float = float("inf")
+    # admission-ranking score (Criteria::CandidateComparison,
+    # src/options.cpp:35-61): DepthUncertainty | CovarianceDiagNorm |
+    # CovarianceDiagNormPlusOutlierCount
+    comparison_score_type: str = "DepthUncertainty"
     strict_criteria_timesteps: int = 5
     num_gauge_xy_features: int = 3
     collinear_cross_prod_thresh: float = 1e-3
@@ -309,6 +313,12 @@ class VIOConfig:
                 "use_oc requires propagation_mode='fast' (the OC correction "
                 "applies to the per-frame transition, which only the fast "
                 "mode materializes)")
+        if self.comparison_score_type not in (
+                "DepthUncertainty", "CovarianceDiagNorm",
+                "CovarianceDiagNormPlusOutlierCount"):
+            raise ValueError(
+                f"invalid comparison_score_type "
+                f"{self.comparison_score_type!r}")
         if self.covariance_form not in ("full", "sqrt"):
             raise ValueError(
                 f"covariance_form must be 'full' or 'sqrt', got "

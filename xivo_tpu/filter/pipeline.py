@@ -444,13 +444,27 @@ def _candidate_mask(cfg: VIOConfig, s: VIOState):
     return ok
 
 
-def _admission_score(fr: FeatureTable):
-    """Smaller = better: READY first, then depth uncertainty.
+def _admission_score(cfg: VIOConfig, fr: FeatureTable):
+    """Smaller = better: READY status first, then the configured
+    uncertainty score — full Criteria::CandidateComparison parity
+    (src/options.cpp:35-61 + comparison_score_type knob):
 
-    Criteria::CandidateComparison parity (src/options.cpp:44-61).
+    * DepthUncertainty              — subfilter depth variance P(2,2)
+    * CovarianceDiagNorm            — ||diag(Psub)||
+    * CovarianceDiagNormPlusOutlierCount — + the subfilter outlier
+      counter (the Corvis-implemented variant per the reference)
     """
-    zvar = fr.Psub[:, 2, 2]
-    return jnp.where(fr.status == FS_READY, 0.0, 1e6) + zvar
+    st = cfg.comparison_score_type
+    if st == "DepthUncertainty":
+        u = fr.Psub[:, 2, 2]
+    elif st == "CovarianceDiagNorm":
+        u = jnp.linalg.norm(
+            jnp.diagonal(fr.Psub, axis1=-2, axis2=-1), axis=-1)
+    else:  # CovarianceDiagNormPlusOutlierCount (validated in config)
+        u = jnp.linalg.norm(
+            jnp.diagonal(fr.Psub, axis1=-2, axis2=-1), axis=-1) \
+            + fr.outlier_counter
+    return jnp.where(fr.status == FS_READY, 0.0, 1e6) + u
 
 
 def _admit_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
@@ -523,7 +537,7 @@ def _admit_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
         want = cand & _oh_take(take, jnp.clip(fr.ref, 0, NG - 1),
                                NG) & (fr.ref >= 0)
         slot_of_row, got = _rank_assign(
-            s.f2row < 0, want, _admission_score(fr))
+            s.f2row < 0, want, _admission_score(cfg, fr))
         return _commit_feature_admissions(cfg, s, slot_of_row, got)
 
     return jax.lax.cond(jnp.any(take), admit, lambda s: s, s)
@@ -562,7 +576,8 @@ def _admit_features_within_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
     cand = _candidate_mask(cfg, s)
     ref_instate = _oh_take(gr.sind >= 0, jnp.clip(fr.ref, 0, NG - 1), NG)
     want = cand & ref_instate & (fr.ref >= 0)
-    slot_of_row, got = _rank_assign(s.f2row < 0, want, _admission_score(fr))
+    slot_of_row, got = _rank_assign(s.f2row < 0, want,
+                                    _admission_score(cfg, fr))
     return _commit_feature_admissions(cfg, s, slot_of_row, got)
 
 
@@ -1020,11 +1035,9 @@ def update_step(cfg: VIOConfig, s: VIOState) -> Tuple[VIOState, StepOutputs]:
     """
     with jax.default_matmul_precision("float32"):
         s, out = _update_step_impl(cfg, s)
-    if cfg.covariance_form == "sqrt":
-        # end-of-frame factor re-compression restores the slack-column
-        # invariant (see filter/sqrt_form.py)
-        from .sqrt_form import factor_recompress
-        s = s._replace(P=factor_recompress(s.P, cfg.dims.full))
+    # sqrt form: no end-of-frame work — the ONE per-frame factor
+    # re-compression lives at the START of frame propagation, where it
+    # also absorbs the process noise (sqrt_form.factor_propagate_absorb)
     return s, out
 
 
@@ -1212,8 +1225,10 @@ def _propagate_frame_fast(cfg: VIOConfig, s: VIOState, imu_gyro, imu_accel,
     qm = qm.at[L.WSG:L.WSG + 2].set(cfg.Qmodel_Wsg ** 2)
     Qd = Q + nprop.astype(dtype) * jnp.diag(qm)
     if cfg.covariance_form == "sqrt":
-        from .sqrt_form import factor_propagate
-        P = factor_propagate(cfg, s.P, Phi, Qd)
+        # exact row transform + ONE Gram/Cholesky re-compression that
+        # absorbs Qd and last frame's admission-band slack together
+        from .sqrt_form import factor_propagate_absorb
+        P = factor_propagate_absorb(cfg, s.P, Phi, Qd)
     else:
         Pmm = Phi @ s.P[:m, :m] @ Phi.T + Qd
         Pms = Phi @ s.P[:m, m:]

@@ -12,20 +12,25 @@ formulation as the TPU-native design choice; this module implements it.
 Representation: ``s.P`` holds a GENERAL (non-triangular) factor
 ``S`` of shape (D, D + C) with ``P = S @ S.T``. PSD-ness is therefore
 structural — no covariance op can produce an indefinite P, in any
-precision. The C slack columns are an intra-frame workspace:
+precision. The C = 3*n_features slack columns are an intra-frame
+workspace:
 
-* at the START of a frame the last C columns are zero (invariant);
-* propagation writes the process-noise factor into slack columns
-  [D : D+MOTION) of the motion rows — the discrete-transition map
-  itself is EXACT in factor form (``S[:m] <- Phi @ S[:m]``, no
-  re-factorization needed);
-* each feature slot k owns slack band [D+MOTION+3k : D+MOTION+3k+3):
-  admission writes ``chol(Psub_k)`` there, which makes the new block
+* frame start (inside propagation): the discrete-transition map is
+  EXACT in factor form (``S[:m] <- Phi @ S[:m]``, no
+  re-factorization), and ONE Gram + masked-Cholesky re-compression
+  (``factor_propagate_absorb``) absorbs the accumulated process noise
+  Qd — added straight into the Gram, never factored itself — together
+  with whatever slack the previous frame left, yielding a clean
+  lower-triangular (D | 0) factor;
+* each feature slot k owns slack band [D+3k : D+3k+3): admission
+  writes ``chol(Psub_k)`` there, which makes the new block
   independent of everything by construction (FillCovarianceBlock
   parity, src/feature.cpp:753-776), while the correlated-init
   congruence (init_cov) is a plain ROW transform of the factor;
-* ONE QR re-compression per frame (end of the frame step) squeezes the
-  factor back into its first D columns and re-zeroes the slack.
+* measurement downdates preserve zero columns, so the factor stays at
+  width D + (3 x admitted-this-frame) until the next frame's
+  recompression — there is exactly ONE D x D Cholesky per frame, on
+  the batch-in-lanes Pallas kernel (ops/lanes_chol.py).
 
 Measurement updates are ONE-SHOT factor downdates. With W = L^-1 H S
 (L = chol(H P H^T + R), m rows) the posterior is P+ = S(I - W^T W)S^T,
@@ -70,10 +75,13 @@ from . import layout as L
 
 
 def slack_cols(dims) -> int:
-    """Intra-frame factor workspace: process-noise block + one 3-column
-    band per feature slot (worst case: every slot admitted in one frame,
-    so bulk admission keeps full reference parity)."""
-    return L.MOTION + 3 * dims.n_features
+    """Intra-frame factor workspace: one 3-column band per feature slot
+    (worst case: every slot admitted in one frame, so bulk admission
+    keeps full reference parity). Process noise no longer needs slack —
+    it is absorbed directly into the re-compression Gram
+    (factor_propagate_absorb), which eliminated both the per-frame
+    noise-factor Cholesky and 39 slack columns (round 3)."""
+    return 3 * dims.n_features
 
 
 def factor_cols(dims) -> int:
@@ -151,12 +159,18 @@ def sqrt_update(S: jnp.ndarray, H: jnp.ndarray, inn: jnp.ndarray,
         err = (S W^T) (L^-1 inn)
 
     Exact for the fixed linearization: Gam is lower-triangular with
-    Gam Gam^T = I - W W^T algebraically (module docstring), so the
-    whole update is one small Cholesky + triangular solves + matmuls —
-    no eigendecomposition or matrix square root anywhere.
+    Gam Gam^T = I - W W^T algebraically (module docstring). TPU
+    realization: (I + Gam)^{-1} W = (I + L^-1 D_R)^{-1} L^-1 V
+    = (L + D_R)^{-1} V with D_R = diag(sqrt(R)) — so the whole update
+    is ONE fused Cholesky+inverse kernel for L and L^-1, one
+    triangular-inverse kernel for (L + D_R), and MXU matmuls. No XLA
+    cholesky or triangular_solve lowerings anywhere (each measured
+    ~0.7-2.4 ms/frame-batch at these shapes; the lanes kernels run in
+    ~0.1-0.3 ms — ops/lanes_chol.py).
 
     Returns (err (D,), S_new).
     """
+    from ..ops.lanes_chol import chol_inv_psd_lanes, tri_inv_psd_lanes
     dtype = S.dtype
     m = H.shape[0]
     rv = row_valid.astype(dtype)
@@ -166,19 +180,14 @@ def sqrt_update(S: jnp.ndarray, H: jnp.ndarray, inn: jnp.ndarray,
 
     V = jnp.matmul(Hm, S, precision=HIGHEST)               # (m, Dc)
     Sinn = jnp.matmul(V, V.T, precision=HIGHEST) + jnp.diag(Rm)
-    Lc = jnp.linalg.cholesky(Sinn)
-    # one triangular solve for [V | inn | diag(sqrt(R))] together
-    rhs = jnp.concatenate(
-        [V, innm[:, None], jnp.diag(jnp.sqrt(Rm))], axis=1)
-    sol = jax.scipy.linalg.solve_triangular(Lc, rhs, lower=True)
-    W = sol[:, :V.shape[1]]                                # L^-1 V
-    y = sol[:, V.shape[1]]                                 # L^-1 inn
-    Gam = sol[:, V.shape[1] + 1:]                          # L^-1 R^(1/2)
+    Lc, Linv = chol_inv_psd_lanes(Sinn)
+    W = jnp.matmul(Linv, V, precision=HIGHEST)             # L^-1 V
+    y = Linv @ innm                                        # L^-1 inn
     SWt = jnp.matmul(S, W.T, precision=HIGHEST)            # (D, m)
     err = SWt @ y
-    # Z = (I + Gam)^-1 W  (Gam lower-triangular with positive diagonal)
-    Z = jax.scipy.linalg.solve_triangular(
-        jnp.eye(m, dtype=dtype) + Gam, W, lower=True)
+    # Z = (I + Gam)^-1 W = (L + D_R)^-1 V (lower-triangular inverse)
+    LRinv = tri_inv_psd_lanes(Lc + jnp.diag(jnp.sqrt(Rm)))
+    Z = jnp.matmul(LRinv, V, precision=HIGHEST)
     S = S - jnp.matmul(SWt, Z, precision=HIGHEST)
     return err, S
 
@@ -241,12 +250,11 @@ def noise_factor(cfg, Qd: jnp.ndarray) -> jnp.ndarray:
 
 def factor_propagate(cfg, S: jnp.ndarray, Phi: jnp.ndarray,
                      Qd: jnp.ndarray) -> jnp.ndarray:
-    """Apply the per-frame transition + process noise to the factor.
-
-    The linear map blockdiag(Phi, I) is exact on the factor; the noise
-    factor lands in the slack columns [D : D+MOTION) (zero at frame
-    start by the recompression invariant). Qd must already include
-    Qmodel.
+    """LEGACY building block (round-2 flow; the production path is
+    factor_propagate_absorb): apply the per-frame transition and write
+    a FACTORED process noise into columns [D : D+MOTION) — the caller
+    must guarantee those columns are zero and recompress later. Kept
+    for the unit tests that pin the noise-factor algebra.
     """
     m = L.MOTION
     D = cfg.dims.full
@@ -255,8 +263,8 @@ def factor_propagate(cfg, S: jnp.ndarray, Phi: jnp.ndarray,
     return S.at[:m, D:D + m].set(noise_factor(cfg, Qd))
 
 
-def factor_recompress(S: jnp.ndarray, D: int) -> jnp.ndarray:
-    """End-of-frame re-compression: squeeze the (D, D+C) factor into D
+def factor_recompress(S: jnp.ndarray, D: int, Qd=None) -> jnp.ndarray:
+    """Re-compression: squeeze the (D, D+C) factor into D
     lower-triangular columns and re-zero the slack workspace.
 
     Gram + masked Cholesky (module docstring: XLA's batched QR is ~70x
@@ -265,21 +273,48 @@ def factor_recompress(S: jnp.ndarray, D: int) -> jnp.ndarray:
     are re-zeroed after. The relative diagonal jitter dominates the
     float32 Gram rounding so pivots stay positive even for exact clones
     (rows of S duplicated by group admission).
+
+    Qd, if given, is the (MOTION, MOTION) accumulated process noise of
+    the frame: it is added straight into the Gram before factoring, so
+    the recompression IS the noise injection — no separate noise-factor
+    Cholesky and no noise slack columns exist anywhere.
     """
     dtype = S.dtype
     G = jnp.matmul(S, S.T, precision=HIGHEST)
+    if Qd is not None:
+        m = L.MOTION
+        G = G.at[:m, :m].add(Qd)
     rel = 1e-12 if dtype == jnp.float64 else 1e-6
     eye = jnp.eye(D, dtype=dtype)
     Gj = G + (rel * jnp.diagonal(G)) * eye
-    from ..ops.chol_pallas import cholesky_psd
-    Lc = cholesky_psd(Gj)
+    from ..ops.lanes_chol import chol_psd_lanes
+    Lc = chol_psd_lanes(Gj)
     return jnp.pad(Lc, ((0, 0), (0, S.shape[1] - D)))
+
+
+def factor_propagate_absorb(cfg, S: jnp.ndarray, Phi: jnp.ndarray,
+                            Qd: jnp.ndarray) -> jnp.ndarray:
+    """Start-of-frame factor propagation WITH noise absorption.
+
+    The linear map blockdiag(Phi, I) is exact on the factor; the
+    process noise and last frame's admission-band slack are then both
+    absorbed by ONE Gram + masked-Cholesky re-compression (the noise
+    enters the Gram as a plain block add — exact, no factorization of
+    Qd needed). The result is a clean (D | zero-slack) factor on which
+    the whole update step operates at minimal width. Replaces the
+    round-2 flow (noise factor into slack columns at propagation +
+    recompression at frame END) at the same algebra but one Cholesky
+    per frame TOTAL and 39 fewer factor columns.
+    """
+    m = L.MOTION
+    Sm = jnp.matmul(Phi, S[:m], precision=HIGHEST)
+    S = jnp.concatenate([Sm, S[m:]], axis=0)
+    return factor_recompress(S, cfg.dims.full, Qd=Qd)
 
 
 def feature_band(dims, slot_index):
     """Slack-column band owned by a feature slot (static offsets)."""
-    base = dims.full + L.MOTION
-    return base + 3 * slot_index
+    return dims.full + 3 * slot_index
 
 
 def chol3x3(P3):

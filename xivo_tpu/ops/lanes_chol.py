@@ -223,3 +223,46 @@ def _tri_inv_fallback(L):
     inv = jax.scipy.linalg.solve_triangular(
         Lm, jnp.broadcast_to(eye, L.shape), lower=True)
     return jnp.where(keep[..., :, None], inv, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# single-matrix entry points with CUSTOM VMAP RULES: under the filter's
+# batch vmap the whole batch reaches one lanes-kernel dispatch instead
+# of per-item padded calls (same pattern as chol_pallas.cholesky_psd)
+# ---------------------------------------------------------------------------
+
+def _maybe_bcast(axis_size, batched, x):
+    return x if batched else jnp.broadcast_to(x[None],
+                                              (axis_size,) + x.shape)
+
+
+@jax.custom_batching.custom_vmap
+def chol_psd_lanes(G: jnp.ndarray) -> jnp.ndarray:
+    return chol_lanes(G[None])[0]
+
+
+@chol_psd_lanes.def_vmap
+def _chol_psd_lanes_vmap(axis_size, in_batched, G):
+    return chol_lanes(_maybe_bcast(axis_size, in_batched[0], G)), True
+
+
+@jax.custom_batching.custom_vmap
+def chol_inv_psd_lanes(G: jnp.ndarray):
+    L, Li = chol_inv_lanes(G[None])
+    return L[0], Li[0]
+
+
+@chol_inv_psd_lanes.def_vmap
+def _chol_inv_psd_lanes_vmap(axis_size, in_batched, G):
+    L, Li = chol_inv_lanes(_maybe_bcast(axis_size, in_batched[0], G))
+    return (L, Li), (True, True)
+
+
+@jax.custom_batching.custom_vmap
+def tri_inv_psd_lanes(L: jnp.ndarray) -> jnp.ndarray:
+    return tri_inv_lanes(L[None])[0]
+
+
+@tri_inv_psd_lanes.def_vmap
+def _tri_inv_psd_lanes_vmap(axis_size, in_batched, L):
+    return tri_inv_lanes(_maybe_bcast(axis_size, in_batched[0], L)), True
