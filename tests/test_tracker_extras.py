@@ -223,3 +223,59 @@ def test_pointcloud_homography_rejection_drops_outliers():
     assert (track[bad_rows] == TS_TRACKED).sum() == 0
     assert (track[bad_rows] == TS_DROPPED).sum() >= 5
     assert (track[good_rows] == TS_TRACKED).mean() > 0.9
+
+
+def test_brisk_rotation_invariance_and_repeatability():
+    """BRISK descriptor: rotation-invariant bits (long-pair orientation,
+    Leutenegger et al. 2011); BRISK detector: corners persist across
+    the rotation (detector factory parity, src/tracker.cpp:36-97)."""
+    from xivo_tpu.frontend import brief
+    from xivo_tpu.frontend.descriptors import extract_brisk
+    from xivo_tpu.frontend.image import blur5
+
+    rng = np.random.default_rng(4)
+    img = blur5(blur5(jnp.asarray(rng.uniform(0, 255, (96, 96)))))
+    c = jnp.asarray([48.0, 48.0])
+    th = 35.0 * np.pi / 180
+    img2 = _rotated_image(img, c, th)
+
+    d_plain = int(brief.hamming(brief.extract(img, c),
+                                brief.extract(img2, c)))
+    d_brisk = int(brief.hamming(extract_brisk(img, c),
+                                extract_brisk(img2, c)))
+    assert d_brisk < 0.6 * max(d_plain, 1), (d_brisk, d_plain)
+    assert int(brief.hamming(extract_brisk(img, c),
+                             extract_brisk(img, c))) == 0
+
+
+def test_new_detector_scores_fire_on_corners():
+    """oFAST and BRISK detector responses peak at a checkerboard corner
+    and stay zero on flat regions."""
+    from xivo_tpu.frontend.fast import brisk_score, ofast_score
+
+    # one bright square: its 4 corners are textbook FAST/AGAST corners
+    # (an X-junction checkerboard center defeats the contiguous-arc
+    # test by design)
+    img = np.zeros((64, 64), np.float32)
+    img[16:48, 16:48] = 200.0
+    img += np.random.default_rng(0).normal(0, 1.0, img.shape)
+    img = jnp.asarray(img)
+    corners = np.array([[16, 16], [16, 47], [47, 16], [47, 47]])
+
+    for fn in (ofast_score, brisk_score):
+        sc = np.asarray(fn(img, 20.0))
+        yx = np.unravel_index(sc.argmax(), sc.shape)
+        d = np.abs(corners - np.asarray(yx)[None, :]).max(axis=1).min()
+        assert d <= 3, (fn, yx)
+        assert sc[28:36, 28:36].max() == 0.0  # flat interior silent
+
+
+def test_brisk_descriptor_config_dispatch():
+    from xivo_tpu.filter.config import config_from_json
+    from xivo_tpu.frontend.descriptors import KINDS
+    from tests.test_e2e_pcw import PCW_CFG
+    cfg_json = dict(PCW_CFG)
+    cfg_json["tracker_cfg"] = {**PCW_CFG["tracker_cfg"],
+                               "descriptor": "BRISK"}
+    cfg = config_from_json(cfg_json)
+    assert cfg.descriptor_type in KINDS

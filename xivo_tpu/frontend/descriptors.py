@@ -31,8 +31,8 @@ import jax.numpy as jnp
 from . import brief
 
 # descriptor kind ids (config `tracker_cfg.descriptor`)
-BRIEF, ORB, FREAK = 0, 1, 2
-KINDS = {"brief": BRIEF, "orb": ORB, "freak": FREAK}
+BRIEF, ORB, FREAK, BRISK = 0, 1, 2, 3
+KINDS = {"brief": BRIEF, "orb": ORB, "freak": FREAK, "brisk": BRISK}
 
 
 def _disc_offsets(radius=15, step=3):
@@ -155,10 +155,95 @@ def extract_freak(img_smooth, xy):
                    dtype=jnp.uint32)
 
 
+# ---------------------------------------------------------------------------
+# BRISK (Leutenegger et al., ICCV 2011): concentric-ring sampling
+# pattern; LONG-distance pairs vote the orientation (gradient sum),
+# SHORT-distance pairs give the bits; the pattern rotates by the
+# estimated angle. Differences from the published form, chosen for the
+# shared 256-bit uint32x8 format (interchangeable with brief.hamming):
+# the 256 shortest of the short-distance pairs are used (published:
+# ~512 at its scale unit), and per-point Gaussian smoothing is
+# approximated by a center sample + 4-point ring average at radius
+# sigma, like the FREAK fields above.
+# ---------------------------------------------------------------------------
+
+def _brisk_pattern():
+    """(60, 3) sampling points: (x, y, sigma). Center + 4 rings at the
+    published radii/counts (BRISK paper Fig. 4 proportions)."""
+    radii = [0.0, 2.9, 4.9, 7.4, 10.8]
+    counts = [1, 10, 14, 15, 20]
+    pts = []
+    for ring, (r, n) in enumerate(zip(radii, counts)):
+        sigma = 0.5 + 0.25 * ring
+        phase = (ring % 2) * np.pi / max(n, 1)
+        for k in range(n):
+            a = 2 * np.pi * k / n + phase
+            pts.append((r * np.cos(a), r * np.sin(a), sigma))
+    return np.asarray(pts, np.float32)
+
+
+_BRISK = _brisk_pattern()
+
+
+def _brisk_pairs():
+    """(short_pairs (256, 2), long_pairs (L, 2)) by the published
+    distance thresholds delta_max=9.75, delta_min=13.67."""
+    n = _BRISK.shape[0]
+    cand = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    d = np.asarray([np.hypot(*(_BRISK[i, :2] - _BRISK[j, :2]))
+                    for i, j in cand])
+    short = [cand[k] for k in np.argsort(d) if d[k] < 9.75][:256]
+    long_ = [cand[k] for k in range(len(cand)) if d[k] > 13.67]
+    return (np.asarray(short, np.int32), np.asarray(long_, np.int32))
+
+
+_BRISK_SHORT, _BRISK_LONG = _brisk_pairs()
+
+
+def extract_brisk(img_smooth, xy):
+    """BRISK descriptor at one keypoint (vmap over keypoints)."""
+    from .image import extract_patch, patch_bilinear_points
+    S = 2 * 16 + 1           # pattern radius 10.8 + field ring + rotation
+    cx = jnp.round(xy[0]).astype(jnp.int32)
+    cy = jnp.round(xy[1]).astype(jnp.int32)
+    patch = extract_patch(img_smooth, cx, cy, S)
+    center = xy - (jnp.stack([cx, cy]).astype(img_smooth.dtype) - S // 2)
+
+    pat = jnp.asarray(_BRISK)
+    ring = jnp.asarray(_RING4)
+
+    def fields(R):
+        centers = center[None, :] + pat[:, :2] @ R.T
+        samp = centers[:, None, :]             + ring[None, :, :] * pat[:, 2, None, None]
+        pts = jnp.concatenate([centers[:, None, :], samp], axis=1)
+        vals = patch_bilinear_points(patch, pts.reshape(-1, 2))
+        return jnp.mean(vals.reshape(-1, 5), axis=1)          # (60,)
+
+    # orientation from the unrotated long pairs (paper eq. 3):
+    # g = mean over long pairs of (p_j - p_i) (I_j - I_i)/||p_j-p_i||^2
+    f0 = fields(jnp.eye(2, dtype=patch.dtype))
+    lp = jnp.asarray(_BRISK_LONG)
+    dxy = pat[lp[:, 1], :2] - pat[lp[:, 0], :2]
+    dI = f0[lp[:, 1]] - f0[lp[:, 0]]
+    g = jnp.sum(dxy * (dI / jnp.sum(dxy * dxy, axis=1))[:, None], axis=0)
+    th = jnp.arctan2(g[1], g[0])
+    c, s = jnp.cos(th), jnp.sin(th)
+    R = jnp.array([[c, -s], [s, c]])
+
+    f = fields(R)
+    sp = jnp.asarray(_BRISK_SHORT)
+    bits = (f[sp[:, 0]] < f[sp[:, 1]]).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(bits.reshape(8, 32) << shifts[None, :], axis=1,
+                   dtype=jnp.uint32)
+
+
 def extract(kind: int, img_smooth, xy):
     """Static dispatch on the descriptor kind (jit-time constant)."""
     if kind == ORB:
         return extract_orb(img_smooth, xy)
     if kind == FREAK:
         return extract_freak(img_smooth, xy)
+    if kind == BRISK:
+        return extract_brisk(img_smooth, xy)
     return brief.extract(img_smooth, xy)

@@ -182,3 +182,49 @@ def select_topk(score, k: int, margin: int, occupied_xy, occupied_valid,
     xy = jnp.stack([(idx % W).astype(jnp.float32),
                     (idx // W).astype(jnp.float32)], axis=-1)
     return xy, vals, vals > 0.0
+
+
+def harris_score(img, k: float = 0.04, block: int = 3):
+    """Harris corner measure det(M) - k tr(M)^2 (cv::cornerHarris)."""
+    from .image import scharr, blur3
+    gx, gy = scharr(img)
+    Ixx, Iyy, Ixy = gx * gx, gy * gy, gx * gy
+    for _ in range(max(block // 2, 1)):
+        Ixx, Iyy, Ixy = blur3(Ixx), blur3(Iyy), blur3(Ixy)
+    tr = Ixx + Iyy
+    det = Ixx * Iyy - Ixy * Ixy
+    return det - k * tr * tr
+
+
+def ofast_score(img, threshold: float = 20.0):
+    """ORB's oFAST detection response: FAST-positive pixels RANKED by
+    the Harris measure (Rublee et al. 2011 §3.1 — FAST gives
+    candidates, Harris orders them; the 'o' orientation lives in the
+    steered descriptor, frontend/descriptors.py::extract_orb).
+    Parity anchor: the reference's ORB detector option,
+    src/tracker.cpp:36-97."""
+    f = fast_score(img, threshold)
+    h = harris_score(img)
+    # positive ranking values only where FAST fires (shift Harris up
+    # so valid responses are > 0 regardless of its sign)
+    return jnp.where(f > 0.0, h - h.min() + 1e-3, 0.0)
+
+
+def brisk_score(img, threshold: float = 20.0):
+    """BRISK-style detection response: AGAST corners that persist
+    across scale. The published detector searches AGAST maxima in a
+    continuous scale-space octave stack (Leutenegger et al. 2011 §3.1);
+    the TPU-native redesign scores the base image AND its half-scale
+    (2x2-mean) downsample, upsamples the coarse map, and keeps the
+    elementwise MINIMUM — a corner must respond at both scales, which
+    is the scale-persistence test without the per-keypoint subpixel
+    scale fit (the filter's subpixel refinement happens in LK anyway).
+    """
+    s0 = agast_score(img, threshold)
+    H, W = img.shape
+    h2, w2 = H // 2, W // 2
+    img2 = img[:2 * h2, :2 * w2].reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+    s1 = agast_score(img2, threshold)
+    up = jnp.repeat(jnp.repeat(s1, 2, axis=0), 2, axis=1)
+    up = jnp.pad(up, ((0, H - 2 * h2), (0, W - 2 * w2)))
+    return jnp.minimum(s0, up)

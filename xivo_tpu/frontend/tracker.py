@@ -45,13 +45,23 @@ def init_frontend(cfg: VIOConfig) -> FrontendState:
 
 
 def _detect_score(cfg: VIOConfig, img):
-    """Detector factory (src/tracker.cpp:36-97): FAST | AGAST | GFTT."""
+    """Detector factory (src/tracker.cpp:36-97):
+    FAST | AGAST | GFTT | ORB (oFAST: FAST ranked by Harris) |
+    BRISK (scale-persistent AGAST). SIFT/SURF are deliberate cuts —
+    the float-descriptor family is out of the binary-Hamming design
+    (see frontend/descriptors.py docstring)."""
     det = cfg.detector.upper()
     if det == "GFTT":
         return shi_tomasi_score(img)
     if det == "AGAST":
         from .fast import agast_score
         return agast_score(img, cfg.fast_threshold)
+    if det in ("ORB", "OFAST"):
+        from .fast import ofast_score
+        return ofast_score(img, cfg.fast_threshold)
+    if det == "BRISK":
+        from .fast import brisk_score
+        return brisk_score(img, cfg.fast_threshold)
     return fast_score(img, cfg.fast_threshold)
 
 
