@@ -68,3 +68,57 @@ def test_estimator_data_matches_live_dump(tmp_path):
     # dumped sigma agrees with the live covariance diagonal
     live = np.sqrt(np.diag(est.Pstate())[L.TSB:L.TSB + 3])
     np.testing.assert_allclose(ed.sigma("Tsb")[0], live, rtol=1e-9)
+
+
+def test_covdump_trackerdump_roundtrip(tmp_path):
+    """CovDumpWriter -> EstimatorData round-trip (covariance included)
+    and TrackerDumpWriter -> load_tracker_dump (VERDICT r2 #9; ref
+    scripts/savers.py:157-313)."""
+    import numpy as np
+    from xivo_tpu.api import Estimator
+    from xivo_tpu.eval.estimator_data import EstimatorData
+    from xivo_tpu.filter.config import config_from_json
+    from xivo_tpu.io.savers import (CovDumpWriter, TrackerDumpWriter,
+                                    load_tracker_dump)
+    from xivo_tpu.sim import RandomPCW, get_imu_sim
+    from tests.test_e2e_pcw import PCW_CFG
+
+    cfg = config_from_json(PCW_CFG, dtype="float64",
+                           sim_initialize_depths=True)
+    est = Estimator(cfg)
+    imu = get_imu_sim("gentle", T=3.0, noise_accel=0, noise_gyro=0, seed=1)
+    pcw = RandomPCW([-10, 10], [-10, 10], [-5, 5], n_points=300, seed=0)
+    K = np.array([[275.0, 0, 320], [0, 275, 240], [0, 0, 1]])
+    Rbc, Tbc = est.gbc()
+
+    cov_path = str(tmp_path / "covdump.json")
+    trk_path = str(tmp_path / "tracker.csv")
+    cov = CovDumpWriter(cov_path)
+    trk = TrackerDumpWriter(trk_path)
+    n_frames = 0
+    for t in np.arange(0, 1.2, 0.05):
+        for ti in np.arange(t, t + 0.05, 0.01):
+            a, g = imu.meas(ti)
+            est.InertialMeas(ti, g, a)
+        Rsb, Tsb = imu.gsb(t + 0.05)
+        ids, xpd = pcw.generate_measurements(
+            Rsb @ Rbc, Rsb @ Tbc + Tsb, K, 640, 480, 0.0)
+        est.VisualMeasPointCloud(t + 0.05, ids, xpd)
+        cov.add(t + 0.05, est)
+        trk.add(t + 0.05, est)
+        n_frames += 1
+    cov.write()
+
+    ed = EstimatorData(cov_path)
+    assert len(ed) == n_frames
+    # covariance round-trips: the dumped Pstate drives sigma queries
+    sig = ed.sigma("Tsb")
+    assert sig.shape == (n_frames, 3) and np.isfinite(sig).all()
+    np.testing.assert_allclose(ed.Tsb[-1], np.asarray(est.gsb()[1]),
+                               atol=1e-9)
+    assert (ed.num_instate_features[-5:] > 0).all()
+
+    td = load_tracker_dump(trk_path)
+    assert td["desc"].shape[1] == 8
+    assert len(np.unique(td["fid"])) > 50
+    assert (td["xp"][:, 0] >= 0).all() and (td["xp"][:, 0] < 640).all()

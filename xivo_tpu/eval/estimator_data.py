@@ -36,6 +36,11 @@ class EstimatorData:
     def __init__(self, path: str):
         with open(path) as f:
             frames = json.load(f)
+        if isinstance(frames, dict) and "data" in frames:
+            # CovDumpWriter format ({"data": [...]}, io/savers.py —
+            # reference scripts/savers.py:157-281): normalize entries
+            # to the StateDumpWriter field names
+            frames = [self._from_covdump(e) for e in frames["data"]]
         if not frames:
             raise ValueError(f"empty dump: {path}")
         self.ts = np.asarray([fr["ts"] for fr in frames])
@@ -49,6 +54,23 @@ class EstimatorData:
         self.Pstate: Optional[np.ndarray] = None
         if "Pstate" in frames[0]:
             self.Pstate = np.asarray([fr["Pstate"] for fr in frames])
+
+    @staticmethod
+    def _from_covdump(e: dict) -> dict:
+        def w_of(q_wxyz):
+            from scipy.spatial.transform import Rotation
+            w, x, y, z = q_wxyz
+            return Rotation.from_quat([x, y, z, w]).as_rotvec().tolist()
+
+        out = dict(
+            ts=e["Timestamp"], Tsb=e["Tsb_XYZ"], Wsb=w_of(e["qsb_WXYZ"]),
+            Vsb=e["Vsb_XYZ"], bg=e["bg"], ba=e["ba"],
+            Tbc=e["Tbc_XYZ"], Wbc=w_of(e["qbc_WXYZ"]), td=e["td"],
+            num_instate_features=e["num_instate_features"],
+            num_instate_groups=e["num_instate_groups"])
+        if "Pstate" in e:
+            out["Pstate"] = e["Pstate"]
+        return out
 
     def __len__(self):
         return len(self.ts)
