@@ -142,6 +142,38 @@ def main():
     fps = B * T / wall
     baseline = 140.0
 
+    # consistency-stack throughput (VERDICT r2 #4): the full recommended
+    # accuracy config — OOS harvest + pose cloning + FEJ + correlated
+    # init covariance (the ~40x NEES reduction of
+    # tests/test_consistency.py) — measured on device so its cost is a
+    # bench fact, not a guess
+    cons_fields = {}
+    if os.environ.get("BENCH_CONSISTENCY", "1") != "0":
+        try:
+            ccfg = config_from_json(
+                PCW_CFG, dtype="float32", sim_initialize_depths=True,
+                propagation_mode=os.environ.get("BENCH_PROP", "fast"),
+                covariance_form=os.environ.get("BENCH_COV", "sqrt"),
+                use_OOS=True, clone_frame_groups=True, use_fej=True,
+                approximate_init_covariance=True)
+            crun = make_batch_runner(ccfg)
+            s, outs = crun(fresh_states(), fib)
+            jax.block_until_ready(outs.Tsb)
+            t0 = time.perf_counter()
+            s, outs = crun(fresh_states(), fib)
+            jax.block_until_ready(outs.Tsb)
+            cwall = time.perf_counter() - t0
+            cerr = np.linalg.norm(np.asarray(outs.Tsb)[0] - gt["Tsb"],
+                                  axis=1)
+            cons_fields = {
+                "consistency_fps": round(B * T / cwall, 1),
+                "consistency_ate_rmse_m": round(
+                    float(np.sqrt(np.mean(cerr ** 2))), 4),
+            }
+        except Exception as e:
+            cons_fields = {"consistency_error":
+                           f"{type(e).__name__}: {e}"[:200]}
+
     # image-mode figures (the honest BASELINE comparison; VERDICT r1 #9)
     img_fields = {}
     if os.environ.get("BENCH_IMG", "1") != "0":
@@ -165,6 +197,7 @@ def main():
         "pcw_fps": round(fps, 1),
         "batch": B, "frames": T, "wall_s": round(wall, 3),
         "ate_rmse_m": round(rmse, 4),
+        **cons_fields,
         **img_fields,
         "device": str(jax.devices()[0]),
     }))

@@ -29,12 +29,24 @@ from tests.test_image_vio import IMG_CFG, make_world
 
 
 def build_frames():
+    from xivo_tpu.filter.layout import Dims
+
     cfg_json = dict(IMG_CFG)
     cfg_json["camera_cfg"] = {"model": "pinhole", "rows": 512, "cols": 512,
                               "fx": 191.0, "fy": 191.0, "cx": 256.0,
                               "cy": 256.0}
+    # TUM-VI-regime tracker settings + a track table SIZED TO THE
+    # BUDGET: LK cost is linear in table rows, and a 256-row table
+    # under a 60-feature budget burned 4x the LK time for nothing
+    # (round-3 batched-image profile). 128 rows absorb budget + one
+    # frame of churn; klt_max_iter 15 matches cfg/tumvi_cam0.json.
+    cfg_json["tracker_cfg"] = dict(
+        IMG_CFG["tracker_cfg"],
+        KLT={"win_size": 15, "max_level": 4, "max_iter": 15,
+             "eps": 0.01})
     cfg = config_from_json(cfg_json, dtype="float32",
-                           propagation_mode="fast")
+                           propagation_mode="fast",
+                           dims=Dims(nf_rows=128, ng_rows=64))
     imu = get_imu_sim("gentle", T=8.0, noise_accel=1e-4, noise_gyro=1e-5,
                       seed=1)
     Xs = make_world(800, seed=2)

@@ -33,10 +33,17 @@ from xivo_tpu.sim.stream import build_pcw_stream
 from tests.test_e2e_pcw import PCW_CFG
 
 
-def measure(n_dev: int, seqs_per_dev: int, fi, gt, cfg):
+def measure(n_dev: int, seqs_per_dev: int, fi, gt, cfg,
+            total_B: int = 0):
+    """seqs_per_dev > 0: weak scaling (B = n * seqs_per_dev).
+    total_B > 0: FIXED total batch sharded over n devices — on an
+    emulated CPU mesh (shared physical cores) this is the meaningful
+    check: throughput should stay ~flat as n grows, proving the
+    shard_map machinery adds no overhead; weak-scaling efficiency
+    there only measures core contention."""
     devs = np.asarray(jax.devices()[:n_dev])
     mesh = Mesh(devs, ("data",))
-    B = n_dev * seqs_per_dev
+    B = total_B if total_B else n_dev * seqs_per_dev
 
     def states():
         s = batch_states(cfg, B)
@@ -66,11 +73,15 @@ def main():
     fi, gt = build_pcw_stream(cfg, total_time=2.0)
     seqs_per_dev = int(os.environ.get("SCALING_SEQS", "4"))
     n_max = len(jax.devices())
-    results = {}
+    emulated = "CPU" in str(jax.devices()[0]).upper()
+    results, flat = {}, {}
     for n in [1, 2, 4, n_max]:
         if n > n_max or n in results:
             continue
         results[n] = measure(n, seqs_per_dev, fi, gt, cfg)
+        if emulated:
+            # fixed total batch: sharding-overhead check (see measure)
+            flat[n] = measure(n, 0, fi, gt, cfg, total_B=32)
     base = results[1]
     out = {
         "metric": "multi_device_scaling",
@@ -79,11 +90,21 @@ def main():
                        for k, v in results.items()},
         "platform": str(jax.devices()[0]),
     }
-    if "CPU" in str(jax.devices()[0]).upper():
-        out["note"] = ("emulated CPU devices share the same physical "
-                       "cores — wall-clock efficiency here validates "
-                       "mechanism only, not scaling; run on a real "
-                       "multi-chip slice for the BASELINE metric")
+    if emulated:
+        fb = flat[1]
+        out["fixed_total_B32_fps"] = {str(k): round(v, 1)
+                                      for k, v in flat.items()}
+        out["sharding_overhead_vs_1dev"] = {
+            str(k): round(1.0 - v / fb, 3) for k, v in flat.items()}
+        out["note"] = (
+            "emulated CPU devices share the same physical cores, so "
+            "weak-scaling efficiency only measures core contention; "
+            "the meaningful emulated check is the fixed-total-batch "
+            "row — sharding_overhead ~0 proves the shard_map path "
+            "adds nothing over the single-device program. The >=70% "
+            "BASELINE target needs a real multi-chip slice "
+            "(collective-free data parallelism: the per-device "
+            "program is byte-identical to single-chip).")
     print(json.dumps(out))
 
 

@@ -89,10 +89,7 @@ def main():
         ("dense", "full", None),
         ("sqrt", "sqrt", None),
         ("sqrt-norecomp", "sqrt",
-         {"factor_recompress": lambda S, D: S}),
-        ("sqrt-nonoise", "sqrt",
-         {"noise_factor": lambda cfg, Qd: jnp.zeros(
-             (Qd.shape[0], Qd.shape[0]), Qd.dtype)}),
+         {"factor_recompress": lambda S, D, Qd=None: S}),
         ("sqrt-noupd", "sqrt",
          {"sqrt_update": lambda S, H, inn, diagR, rv: (
              jnp.zeros((S.shape[0],), S.dtype) + 1e-12 * jnp.sum(H)

@@ -193,8 +193,18 @@ class Estimator:
         if self._fes is None:
             from ..frontend import init_frontend, vio_frame_image
             self._fes = init_frontend(self.cfg)
-            self._image_step = jax.jit(partial(vio_frame_image, self.cfg),
-                                       donate_argnums=(0, 1))
+            if self.cfg.use_mapper:
+                # image frames route through the mapped step (retire ->
+                # map, close_loop after the update) exactly like the
+                # point-cloud path (src/app/vio.cpp:75-77)
+                from ..map.integration import vio_frame_image_mapped
+                self._image_step = jax.jit(
+                    partial(vio_frame_image_mapped, self.cfg),
+                    donate_argnums=(0, 1, 2))
+            else:
+                self._image_step = jax.jit(
+                    partial(vio_frame_image, self.cfg),
+                    donate_argnums=(0, 1))
         if not self.vision_initialized:
             self.vision_initialized = True
             self._last_prop_time = ts
@@ -216,10 +226,18 @@ class Estimator:
             t_prev = t
         frame_dt = max(ts - t_prev, 0.0)
         self._last_prop_time = ts
-        self.state, self._fes, out = self._image_step(
-            self.state, self._fes, jnp.asarray(gyro), jnp.asarray(accel),
-            jnp.asarray(dts), jnp.asarray(dtype.type(frame_dt)),
-            jnp.asarray(image))
+        if self.cfg.use_mapper:
+            (self.state, self._fes, self._map, out,
+             n_lc) = self._image_step(
+                self.state, self._fes, self._map, jnp.asarray(gyro),
+                jnp.asarray(accel), jnp.asarray(dts),
+                jnp.asarray(dtype.type(frame_dt)), jnp.asarray(image))
+            self._last_n_lc = int(n_lc)
+        else:
+            self.state, self._fes, out = self._image_step(
+                self.state, self._fes, jnp.asarray(gyro),
+                jnp.asarray(accel), jnp.asarray(dts),
+                jnp.asarray(dtype.type(frame_dt)), jnp.asarray(image))
         self._last_out = out
 
     def VisualMeasPointCloud(self, ts: float, ids, xp_and_depths):

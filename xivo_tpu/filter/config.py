@@ -211,6 +211,10 @@ class VIOConfig:
     lc_nn_dist_thresh: int = 30
     lc_ransac_thresh: float = 0.03
     lc_min_matches: int = 5
+    # chi-square gate on loop-closure innovation rows (2 dof) —
+    # robustness beyond the reference (which applies matched rows
+    # ungated); 0 disables for strict parity
+    lc_MH_thresh: float = 13.8
     # merge-on-retirement landmark fusion (Feature::Merge parity,
     # src/feature.cpp:187-208 + src/mapper.cpp:158-222): a re-retired
     # landmark fuses into its map match instead of duplicating

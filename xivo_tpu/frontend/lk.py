@@ -50,12 +50,23 @@ def _patch_bilinear(patch, start, w: int):
     """Bilinear w x w window from each patch at continuous top-left.
 
     patch (N, S, S) indexed [row, col]; start (N, 2) = (x, y) window
-    top-left in patch coordinates. The fractional part becomes the 2-hot
-    interpolation weights of the selection matmuls. The start clamp here
-    is a numerical guard only — _track_level clamps the ITERATE and
-    fails tracks that escape the pad margin, so in-range inputs are the
-    invariant. (Sibling single-patch helpers live in image.py; keep the
-    conventions in sync.)
+    top-left in patch coordinates. The start clamp here is a numerical
+    guard only — _track_level clamps the ITERATE and fails tracks that
+    escape the pad margin, so in-range inputs are the invariant.
+
+    TPU shape (round 3): the window is a RIGID translation, so all
+    w x w samples of a track share ONE (by, bx, fy, fx). Instead of
+    per-track 2-hot selection matmuls — which lower to thousands of
+    MXU-starved (w, S) x (S, S) matmuls under batch (measured ~80% of
+    the batched image frame) — the integer shift is a sum over the
+    S-w+1 possible offsets of STATICALLY-sliced patch views weighted
+    by per-track coefficients that fold in the bilinear fractions:
+
+        out = sum_o c_o[n] * patch[n, o:o+w, :]   (rows; c 2-hot in o)
+        then the same over columns.
+
+    Pure fusable VPU elementwise work, identical math to the matmul
+    form (coefficients are exactly the old Wr/Wc entries).
     """
     N, S, _ = patch.shape
     dt = patch.dtype
@@ -63,19 +74,19 @@ def _patch_bilinear(patch, start, w: int):
     sy = jnp.clip(start[:, 1], 0.0, S - w - 1 + 0.999)
     bx = jnp.floor(sx)
     by = jnp.floor(sy)
-    fx = (sx - bx)[:, None, None]
-    fy = (sy - by)[:, None, None]
-    offs = jnp.arange(w, dtype=dt)
-    k = jnp.arange(S, dtype=dt)
-    rows = by[:, None] + offs[None, :]                          # (N, w)
-    Wr = ((k[None, None, :] == rows[:, :, None]) * (1.0 - fy)
-          + (k[None, None, :] == rows[:, :, None] + 1.0) * fy).astype(dt)
-    from .image import sel_einsum
-    Rm = sel_einsum("nws,nst->nwt", Wr, patch)                  # (N, w, S)
-    cols = bx[:, None] + offs[None, :]
-    Wc = ((k[None, None, :] == cols[:, :, None]) * (1.0 - fx)
-          + (k[None, None, :] == cols[:, :, None] + 1.0) * fx).astype(dt)
-    return sel_einsum("nwt,nvt->nwv", Rm, Wc)                   # (N, w, w)
+    fx = sx - bx
+    fy = sy - by
+    no = S - w + 1
+    o = jnp.arange(no, dtype=dt)
+    # c[n, o] = (1-f)*[b==o] + f*[b==o-1]
+    cy = ((by[:, None] == o[None, :]) * (1.0 - fy)[:, None]
+          + (by[:, None] == o[None, :] - 1.0) * fy[:, None]).astype(dt)
+    cx = ((bx[:, None] == o[None, :]) * (1.0 - fx)[:, None]
+          + (bx[:, None] == o[None, :] - 1.0) * fx[:, None]).astype(dt)
+    Pr = sum(cy[:, i, None, None] * patch[:, i:i + w, :]
+             for i in range(no))                               # (N, w, S)
+    return sum(cx[:, j, None, None] * Pr[:, :, j:j + w]
+               for j in range(no))                             # (N, w, w)
 
 
 def _scharr_patches(p):

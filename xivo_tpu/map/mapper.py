@@ -294,6 +294,33 @@ def close_loop(cfg: VIOConfig, s: VIOState, ms: MapState,
                               ].add(Hgrp).reshape(2 * F, D)
     inn = inn.reshape(2 * F)
     diagR = Rrow.reshape(2 * F).astype(dtype)
+    if cfg.lc_MH_thresh > 0:
+        # chi-square gate on the LC innovations (robustness beyond the
+        # reference, which applies matched rows ungated: a descriptor
+        # match that survives P3P can still disagree violently with the
+        # filter — e.g. aliased texture — and one such row can bend the
+        # whole trajectory; the per-row Mahalanobis test keeps only
+        # closures consistent with the state to lc_MH_thresh)
+        from ..filter.update import mh_distances
+        idx = jnp.arange(F)
+        if s.P.shape[0] != s.P.shape[1]:
+            from ..filter.sqrt_form import factor_innovation_blocks
+            b00, b01, b11 = factor_innovation_blocks(s.P, H)
+        else:
+            HP = H @ s.P
+            Sf = HP @ H.T
+            b00 = Sf[2 * idx, 2 * idx]
+            b01 = Sf[2 * idx, 2 * idx + 1]
+            b11 = Sf[2 * idx + 1, 2 * idx + 1]
+        S00 = b00 + diagR[2 * idx]
+        S01 = b01
+        S11 = b11 + diagR[2 * idx + 1]
+        r0, r1 = inn[2 * idx], inn[2 * idx + 1]
+        det = S00 * S11 - S01 * S01
+        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        dist = (S11 * r0 * r0 - 2.0 * S01 * r0 * r1
+                + S00 * r1 * r1) / det
+        rv = rv & (dist < cfg.lc_MH_thresh)
     err, P = measurement_update(s.P, H, inn, diagR, rv)
     do = jnp.any(rv)
     err = jnp.where(do, err, 0.0)
