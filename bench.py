@@ -149,30 +149,35 @@ def main():
     # bench fact, not a guess
     cons_fields = {}
     if os.environ.get("BENCH_CONSISTENCY", "1") != "0":
-        try:
-            ccfg = config_from_json(
-                PCW_CFG, dtype="float32", sim_initialize_depths=True,
-                propagation_mode=os.environ.get("BENCH_PROP", "fast"),
-                covariance_form=os.environ.get("BENCH_COV", "sqrt"),
-                use_OOS=True, clone_frame_groups=True, use_fej=True,
-                approximate_init_covariance=True)
-            crun = make_batch_runner(ccfg)
-            s, outs = crun(fresh_states(), fib)
-            jax.block_until_ready(outs.Tsb)
-            t0 = time.perf_counter()
-            s, outs = crun(fresh_states(), fib)
-            jax.block_until_ready(outs.Tsb)
-            cwall = time.perf_counter() - t0
-            cerr = np.linalg.norm(np.asarray(outs.Tsb)[0] - gt["Tsb"],
-                                  axis=1)
-            cons_fields = {
-                "consistency_fps": round(B * T / cwall, 1),
-                "consistency_ate_rmse_m": round(
-                    float(np.sqrt(np.mean(cerr ** 2))), 4),
-            }
-        except Exception as e:
-            cons_fields = {"consistency_error":
-                           f"{type(e).__name__}: {e}"[:200]}
+        # the remote compile of this (largest) program occasionally
+        # drops the connection; retry once before reporting the error
+        for attempt in range(2):
+            try:
+                ccfg = config_from_json(
+                    PCW_CFG, dtype="float32", sim_initialize_depths=True,
+                    propagation_mode=os.environ.get("BENCH_PROP", "fast"),
+                    covariance_form=os.environ.get("BENCH_COV", "sqrt"),
+                    use_OOS=True, clone_frame_groups=True, use_fej=True,
+                    approximate_init_covariance=True)
+                crun = make_batch_runner(ccfg)
+                s, outs = crun(fresh_states(), fib)
+                jax.block_until_ready(outs.Tsb)
+                t0 = time.perf_counter()
+                s, outs = crun(fresh_states(), fib)
+                jax.block_until_ready(outs.Tsb)
+                cwall = time.perf_counter() - t0
+                cerr = np.linalg.norm(
+                    np.asarray(outs.Tsb)[0] - gt["Tsb"], axis=1)
+                cons_fields = {
+                    "consistency_fps": round(B * T / cwall, 1),
+                    "consistency_ate_rmse_m": round(
+                        float(np.sqrt(np.mean(cerr ** 2))), 4),
+                }
+                break
+            except Exception as e:
+                cons_fields = {"consistency_error":
+                               f"{type(e).__name__}: {e}"[:200]}
+                time.sleep(20)
 
     # image-mode figures (the honest BASELINE comparison; VERDICT r1 #9)
     img_fields = {}

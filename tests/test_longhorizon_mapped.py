@@ -1,0 +1,80 @@
+"""Long-horizon image-mapped pipeline pins (VERDICT r2 #10).
+
+The full composition — LK/FAST/BRIEF front-end, EKF, BigMap retirement
+with observation history, descriptor loop closure, refine_map BA —
+driven long-form by scripts/run_longhorizon_mapped.py. The honest
+finding of the round-3 study (ARCHITECTURE.md): on procedurally
+textured synthetic worlds, BRIEF-family descriptors across lap-to-lap
+viewpoint wander rarely clear strict match thresholds, and at loose
+thresholds aliased texture produces GEOMETRICALLY-CONSISTENT false
+closures — so the property this suite pins is the one that decides
+whether the map may be on at all:
+
+  * loop closures FIRE on revisit at a loose threshold (mechanism);
+  * UNGATED they diverge the filter (measured 2.2 m vs 0.04 m RMSE);
+  * the chi-square innovation gate (lc_MH_thresh) keeps the same
+    configuration at baseline accuracy.
+
+Positive ATE reduction from LC is expected on real imagery
+(distinctive descriptors) or much longer horizons; the study script
+measures it with -ab.
+"""
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_arm(**kw):
+    spec = importlib.util.spec_from_file_location(
+        "lh", os.path.join(ROOT, "scripts", "run_longhorizon_mapped.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m.run_arm(**kw)
+
+
+COMMON = dict(total_time=24.0, motion="orbit", nn_thresh=75,
+              noise_gyro=3e-3, noise_accel=2e-2, refine_every=10.0,
+              lc_min_matches=5, dtype="float64")
+
+
+@pytest.fixture(scope="module")
+def arms():
+    base = _run_arm(use_lc=False, **COMMON)
+    ungated = _run_arm(use_lc=True, lc_MH_thresh=0.0, **COMMON)
+    gated = _run_arm(use_lc=True, **COMMON)  # lc_MH_thresh default on
+    return base, ungated, gated
+
+
+def test_loop_closures_fire_on_revisit(arms):
+    base, ungated, gated = arms
+    # the orbit revisits after ~14 s; the loose-threshold arm must see
+    # closures (mechanism: retirement -> map -> match -> P3P -> rows)
+    assert ungated["n_lc"] > 0, ungated
+    assert base["n_lc"] == 0
+    assert ungated["map_count"] > 20
+
+
+def test_ungated_false_closures_diverge(arms):
+    """Why the innovation gate exists: aliased-texture matches that
+    survive P3P still disagree with the state; applied ungated they
+    bend the trajectory by an order of magnitude."""
+    base, ungated, gated = arms
+    assert ungated["rmse"] > 3.0 * base["rmse"], (ungated, base)
+
+
+def test_gated_lc_preserves_accuracy(arms):
+    """With the chi-square gate (default), the same loose-threshold LC
+    configuration stays at baseline accuracy — the map can be ON
+    without risking the filter."""
+    base, ungated, gated = arms
+    assert gated["rmse"] < 1.3 * base["rmse"], (gated, base)
+    assert np.isfinite(gated["rmse"])
+
+
+def test_refine_map_runs_in_stream(arms):
+    _, _, gated = arms
+    assert gated["n_refine"] >= 1
