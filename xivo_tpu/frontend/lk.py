@@ -25,6 +25,10 @@ import jax.numpy as jnp
 
 from ..ops.dense import HIGHEST
 
+# test/debug escape hatch: force the pure-jnp path even on TPU
+# (used by the kernel-equivalence check, scripts/check_lk_kernel.py)
+_FORCE_JNP = False
+
 
 def _extract_patches(imgs, cx, cy, S: int):
     """Per-track square patches by separable selection matmuls.
@@ -121,6 +125,13 @@ def _track_level(prev_img, next_img, pts_prev, guesses, valid, half: int,
     dt = prev_img.dtype
     w = 2 * half + 1
     S = w + 2 * pad
+    # fused Pallas kernels on TPU f32 (ops/lk_pallas.py): whole GN loop
+    # + template sampling stay VMEM-resident — every jnp bilinear call
+    # at these shapes costs ~0.25 ms through HBM regardless of
+    # formulation (measured round 3); the kernel does an iteration in
+    # ~75 us for the full batch-x-table
+    use_kernel = (not _FORCE_JNP and jax.default_backend() == "tpu"
+                  and dt == jnp.float32)
 
     # template patch; gradients computed in-patch (a third the matmul
     # cost of extracting img+gx+gy channels, same values in the window)
@@ -130,9 +141,13 @@ def _track_level(prev_img, next_img, pts_prev, guesses, valid, half: int,
     gxp, gyp = _scharr_patches(tp)
     torig = jnp.stack([tcx, tcy], axis=1).astype(dt) - S // 2   # (N,2)
     tstart = (pts_prev - half) - torig
-    T = _patch_bilinear(tp, tstart, w)
-    Gx = _patch_bilinear(gxp, tstart, w)
-    Gy = _patch_bilinear(gyp, tstart, w)
+    if use_kernel:
+        from ..ops.lk_pallas import sample_templates_fn
+        T, Gx, Gy = sample_templates_fn(S, w)(tp, gxp, gyp, tstart)
+    else:
+        T = _patch_bilinear(tp, tstart, w)
+        Gx = _patch_bilinear(gxp, tstart, w)
+        Gy = _patch_bilinear(gyp, tstart, w)
 
     gxx = jnp.sum(Gx * Gx, axis=(1, 2))
     gxy = jnp.sum(Gx * Gy, axis=(1, 2))
@@ -151,6 +166,25 @@ def _track_level(prev_img, next_img, pts_prev, guesses, valid, half: int,
     # pt in [sorig + half, sorig + half + (S - w - 1)] per axis
     lo = sorig + half
     hi = sorig + half + (S - w - 1)
+
+    if use_kernel:
+        # fused GN loop (identical done-masked semantics; running the
+        # full iteration budget with converged tracks masked is EXACTLY
+        # the early-exited result)
+        from ..ops.lk_pallas import gn_tracks_fn
+        done0f = (~ok_grad | ~valid).astype(dt)
+        N = pts_prev.shape[0]
+        halff = jnp.full((N,), float(half), dt)
+        sc = jnp.stack([
+            gxx, gxy, gyy, det,
+            halff, halff,
+            jnp.full((N,), float(half + S - w - 1), dt),
+            jnp.full((N,), float(half + S - w - 1), dt),
+            jnp.full((N,), float(eps) ** 2, dt)], axis=1)     # (N, 9)
+        pt0 = guesses - sorig                                 # patch coords
+        st0 = jnp.stack([done0f, jnp.zeros((N,), dt)], axis=1)
+        ptp, st = gn_tracks_fn(S, w, iters)(sp, T, Gx, Gy, sc, pt0, st0)
+        return ptp + sorig, ok_grad & ~(st[:, 1] > 0.5)
 
     UNROLL = 3   # GN steps per while iteration: the loop is LATENCY-
     # bound on TPU (each iteration is a tiny fused kernel + a sync on
