@@ -3,16 +3,44 @@
 Prints ONE JSON line: frames/s/chip for the full filter pipeline
 (IMU propagation + tracker + EKF update per frame), batched over
 independent sequences — the throughput axis defined in SURVEY.md §2.6.
-Baseline: the reference's 140 FPS single-core replay (BASELINE.md).
+Baseline: the reference's 140 FPS single-core replay (BASELINE.md,
+/root/reference/README.md:8).
+
+Deadline-proof by design (round-3 verdict #1):
+  * stages (PCW sqrt -> consistency stack -> image mode) are measured
+    and STAGED under a wall-clock budget (env BENCH_BUDGET_S, default
+    420 s); a stage whose estimated compile cost exceeds the remaining
+    budget is skipped with a "skipped_for_budget" marker instead of
+    blowing the driver timeout;
+  * the JAX persistent compilation cache (.jax_cache/) makes repeat
+    runs skip the 30-60 s remote compiles entirely;
+  * the single JSON line is printed from a finally: block, so partial
+    results survive any stage failure; a SIGTERM handler emits the
+    partial line even if the driver's timeout fires mid-stage;
+  * numeric failures (NaN / divergent ATE) exit nonzero instead of
+    hiding in a note string (round-3 verdict #7).
 """
 import json
 import os
+import signal
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+T0 = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 import jax
+
+# Persistent compilation cache: verified to work through the axon relay
+# (cold 1.7 s -> warm 0.25 s on a toy program). Keyed on jaxpr+backend,
+# so in-round warming makes the driver's end-of-round run compile-free.
+_CACHE_DIR = os.path.join(_REPO, ".jax_cache")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 # NOTE: no global jax_default_matmul_precision flag here — the filter
 # owns its numerics (float32 matmul-precision scopes inside
@@ -22,84 +50,46 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from xivo_tpu.filter.config import config_from_json
-from xivo_tpu.runner import batch_states, make_batch_runner
-from xivo_tpu.sim.stream import build_pcw_stream
-from tests.test_e2e_pcw import PCW_CFG
+FIELDS = {}
+_EMITTED = False
+_EXIT_CODE = 0
 
 
-def bench_image(B: int):
-    """Image-mode (LK/FAST/BRIEF, 512x512) throughput: single-stream
-    ms/frame and B-stream batched frames/s/chip. BASELINE.md's ">=140
-    FPS-equivalent per chip" is an image-mode claim, so both modes are
-    first-class bench metrics (one JSON line still)."""
-    import time as _time
-    from functools import partial
-
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "scripts"))
-    from bench_image import build_frames
-    from xivo_tpu.filter.state import init_state
-    from xivo_tpu.frontend import init_frontend, vio_frame_image
-
-    frames, cfg, imu = build_frames()
-    rest = frames[20:60]
-    packed = tuple(jnp.stack([f[i] for f in rest]) for i in range(5))
-
-    s = init_state(cfg)
-    a0, g0 = imu.meas(0.0)
-    s = s._replace(last_gyro=jnp.asarray(g0, np.float32),
-                   last_accel=jnp.asarray(a0, np.float32))
-    fes = init_frontend(cfg)
-
-    def body(carry, inp):
-        s, fes = carry
-        gy, ac, dts, fdt, img = inp
-        s, fes, out = vio_frame_image(cfg, s, fes, gy, ac, dts, fdt, img)
-        return (s, fes), out.Tsb
-
-    @jax.jit
-    def run1(s, fes, packed):
-        (_, _), Tsb = jax.lax.scan(body, (s, fes), packed)
-        return Tsb
-
-    Tsb = run1(s, fes, packed)
-    jax.block_until_ready(Tsb)
-    t0 = _time.perf_counter()
-    Tsb = run1(s, fes, packed)
-    jax.block_until_ready(Tsb)
-    wall1 = _time.perf_counter() - t0
-    single_fps = len(rest) / wall1
-
-    def bodyb(carry, inp):
-        s, fes = carry
-        gy, ac, dts, fdt, img = inp
-        s, fes, out = jax.vmap(partial(vio_frame_image, cfg))(
-            s, fes, gy, ac, dts, fdt, img)
-        return (s, fes), out.Tsb
-
-    @jax.jit
-    def runb(s, fes, packed):
-        (_, _), Tsb = jax.lax.scan(bodyb, (s, fes), packed)
-        return Tsb
-
-    packed_b = jax.tree.map(
-        lambda x: jnp.broadcast_to(x[:, None],
-                                   (x.shape[0], B) + x.shape[1:]), packed)
-    sb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(),
-                      s)
-    fb = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape).copy(),
-                      fes)
-    Tsb = runb(sb, fb, packed_b)
-    jax.block_until_ready(Tsb)
-    t0 = _time.perf_counter()
-    Tsb = runb(sb, fb, packed_b)
-    jax.block_until_ready(Tsb)
-    wallb = _time.perf_counter() - t0
-    return single_fps, len(rest) * B / wallb
+def remaining():
+    return BUDGET_S - (time.time() - T0)
 
 
-def main():
+def emit():
+    """Print the single JSON line exactly once."""
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    FIELDS.setdefault("metric", "pcw_vio_frames_per_s_per_chip")
+    FIELDS.setdefault("unit", "frames/s/chip")
+    FIELDS["budget_s"] = BUDGET_S
+    FIELDS["elapsed_s"] = round(time.time() - T0, 1)
+    print(json.dumps(FIELDS), flush=True)
+
+
+def _on_term(signum, frame):
+    # the driver's `timeout` sends SIGTERM before SIGKILL: salvage
+    # whatever stages already completed rather than reporting nothing
+    FIELDS["truncated_by_signal"] = signum
+    emit()
+    os._exit(1)
+
+
+signal.signal(signal.SIGTERM, _on_term)
+
+
+def stage_pcw():
+    """Flagship: sqrt-form filter-mode VIO, B sequences batched."""
+    from xivo_tpu.filter.config import config_from_json
+    from xivo_tpu.runner import batch_states, make_batch_runner
+    from xivo_tpu.sim.stream import build_pcw_stream
+    from tests.test_e2e_pcw import PCW_CFG
+
     # measured batch sweep on v5e (frames/s/chip), post gather-purge:
     # 128 -> 10940, 256 -> 11493, 512 -> 11470 — saturates ~256
     B = int(os.environ.get("BENCH_BATCH", "256"))
@@ -124,9 +114,10 @@ def main():
     fib = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), fi)
     run = make_batch_runner(cfg)
 
-    # warmup/compile
-    s, outs = run(fresh_states(), fib)
+    tc = time.time()
+    s, outs = run(fresh_states(), fib)       # warmup/compile
     jax.block_until_ready(outs.Tsb)
+    compile_s = time.time() - tc
 
     # sanity: the filter must actually track, not just run
     err = np.linalg.norm(np.asarray(outs.Tsb)[0] - gt["Tsb"], axis=1)
@@ -141,71 +132,194 @@ def main():
 
     fps = B * T / wall
     baseline = 140.0
-
-    # consistency-stack throughput (VERDICT r2 #4): the full recommended
-    # accuracy config — OOS harvest + pose cloning + FEJ + correlated
-    # init covariance (the ~40x NEES reduction of
-    # tests/test_consistency.py) — measured on device so its cost is a
-    # bench fact, not a guess
-    cons_fields = {}
-    if os.environ.get("BENCH_CONSISTENCY", "1") != "0":
-        # the remote compile of this (largest) program occasionally
-        # drops the connection; retry once before reporting the error
-        for attempt in range(2):
-            try:
-                ccfg = config_from_json(
-                    PCW_CFG, dtype="float32", sim_initialize_depths=True,
-                    propagation_mode=os.environ.get("BENCH_PROP", "fast"),
-                    covariance_form=os.environ.get("BENCH_COV", "sqrt"),
-                    use_OOS=True, clone_frame_groups=True, use_fej=True,
-                    approximate_init_covariance=True)
-                crun = make_batch_runner(ccfg)
-                s, outs = crun(fresh_states(), fib)
-                jax.block_until_ready(outs.Tsb)
-                t0 = time.perf_counter()
-                s, outs = crun(fresh_states(), fib)
-                jax.block_until_ready(outs.Tsb)
-                cwall = time.perf_counter() - t0
-                cerr = np.linalg.norm(
-                    np.asarray(outs.Tsb)[0] - gt["Tsb"], axis=1)
-                cons_fields = {
-                    "consistency_fps": round(B * T / cwall, 1),
-                    "consistency_ate_rmse_m": round(
-                        float(np.sqrt(np.mean(cerr ** 2))), 4),
-                }
-                break
-            except Exception as e:
-                cons_fields = {"consistency_error":
-                               f"{type(e).__name__}: {e}"[:200]}
-                time.sleep(20)
-
-    # image-mode figures (the honest BASELINE comparison; VERDICT r1 #9)
-    img_fields = {}
-    if os.environ.get("BENCH_IMG", "1") != "0":
-        try:
-            img_b = int(os.environ.get("IMG_BATCH", "16"))
-            img_single, img_batched = bench_image(img_b)
-            img_fields = {
-                "img_fps": round(img_batched, 1),
-                "img_fps_single_stream": round(img_single, 1),
-                "img_batch": img_b,
-                "img_vs_baseline": round(img_batched / baseline, 3),
-            }
-        except Exception as e:  # keep the PCW line printing regardless
-            img_fields = {"img_error": f"{type(e).__name__}: {e}"[:200]}
-
-    print(json.dumps({
-        "metric": "pcw_vio_frames_per_s_per_chip",
+    FIELDS.update({
         "value": round(fps, 1),
-        "unit": "frames/s/chip",
         "vs_baseline": round(fps / baseline, 3),
         "pcw_fps": round(fps, 1),
         "batch": B, "frames": T, "wall_s": round(wall, 3),
+        "pcw_compile_s": round(compile_s, 1),
         "ate_rmse_m": round(rmse, 4),
-        **cons_fields,
-        **img_fields,
         "device": str(jax.devices()[0]),
-    }))
+    })
+    if not np.isfinite(rmse) or rmse > 1.0:
+        raise BenchNumericError(f"PCW ATE {rmse} (expected finite, <1 m)")
+    return fib, fresh_states, gt, T, B, compile_s
+
+
+class BenchNumericError(AssertionError):
+    """A measured quantity is numerically wrong (NaN / divergence)."""
+
+
+def stage_consistency(fib, fresh_states, gt, T, B):
+    """Recommended accuracy config — OOS harvest + pose cloning + FEJ +
+    correlated init covariance (the ~40x NEES reduction of
+    tests/test_consistency.py) — measured on device so its cost is a
+    bench fact, not a guess (round-2 verdict #4)."""
+    from xivo_tpu.filter.config import config_from_json
+    from xivo_tpu.runner import make_batch_runner
+    from tests.test_e2e_pcw import PCW_CFG
+
+    ccfg = config_from_json(
+        PCW_CFG, dtype="float32", sim_initialize_depths=True,
+        propagation_mode=os.environ.get("BENCH_PROP", "fast"),
+        covariance_form=os.environ.get("BENCH_COV", "sqrt"),
+        use_OOS=True, clone_frame_groups=True, use_fej=True,
+        approximate_init_covariance=True)
+    crun = make_batch_runner(ccfg)
+    s, outs = crun(fresh_states(), fib)
+    jax.block_until_ready(outs.Tsb)
+    t0 = time.perf_counter()
+    s, outs = crun(fresh_states(), fib)
+    jax.block_until_ready(outs.Tsb)
+    cwall = time.perf_counter() - t0
+    cerr = np.linalg.norm(np.asarray(outs.Tsb)[0] - gt["Tsb"], axis=1)
+    cate = float(np.sqrt(np.mean(cerr ** 2)))
+    FIELDS.update({
+        "consistency_fps": round(B * T / cwall, 1),
+        "consistency_ate_rmse_m": round(cate, 4),
+    })
+    if not np.isfinite(cate) or cate > 1.0:
+        raise BenchNumericError(
+            f"consistency ATE {cate} (expected finite, <1 m)")
+
+
+def stage_image():
+    """Image-mode (LK/FAST/BRIEF, 512x512) throughput: single-stream
+    ms/frame and B-stream batched frames/s/chip. BASELINE.md's ">=140
+    FPS-equivalent per chip" is an image-mode claim, so both modes are
+    first-class bench metrics (one JSON line still)."""
+    from functools import partial
+
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    from bench_image import build_frames
+    from xivo_tpu.filter.state import init_state
+    from xivo_tpu.frontend import init_frontend, vio_frame_image
+
+    baseline = 140.0
+    img_b = int(os.environ.get("IMG_BATCH", "16"))
+
+    frames, cfg, imu = build_frames()
+    rest = frames[20:60]
+    packed = tuple(jnp.stack([f[i] for f in rest]) for i in range(5))
+
+    s = init_state(cfg)
+    a0, g0 = imu.meas(0.0)
+    s = s._replace(last_gyro=jnp.asarray(g0, np.float32),
+                   last_accel=jnp.asarray(a0, np.float32))
+    fes = init_frontend(cfg)
+
+    def body(carry, inp):
+        s, fes = carry
+        gy, ac, dts, fdt, img = inp
+        s, fes, out = vio_frame_image(cfg, s, fes, gy, ac, dts, fdt, img)
+        return (s, fes), out.Tsb
+
+    @jax.jit
+    def run1(s, fes, packed):
+        (_, _), Tsb = jax.lax.scan(body, (s, fes), packed)
+        return Tsb
+
+    Tsb = run1(s, fes, packed)
+    jax.block_until_ready(Tsb)
+    t0 = time.perf_counter()
+    Tsb = run1(s, fes, packed)
+    jax.block_until_ready(Tsb)
+    wall1 = time.perf_counter() - t0
+    single_fps = len(rest) / wall1
+    FIELDS["img_fps_single_stream"] = round(single_fps, 1)
+
+    # batched mode only if budget allows its (second) compile
+    if remaining() < FIELDS.get("pcw_compile_s", 60.0) + 30.0:
+        FIELDS["img_batched_skipped_for_budget"] = True
+        return
+
+    def bodyb(carry, inp):
+        s, fes = carry
+        gy, ac, dts, fdt, img = inp
+        s, fes, out = jax.vmap(partial(vio_frame_image, cfg))(
+            s, fes, gy, ac, dts, fdt, img)
+        return (s, fes), out.Tsb
+
+    @jax.jit
+    def runb(s, fes, packed):
+        (_, _), Tsb = jax.lax.scan(bodyb, (s, fes), packed)
+        return Tsb
+
+    packed_b = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[:, None],
+                                   (x.shape[0], img_b) + x.shape[1:]),
+        packed)
+    sb = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (img_b,) + x.shape).copy(), s)
+    fb = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (img_b,) + x.shape).copy(), fes)
+    Tsb = runb(sb, fb, packed_b)
+    jax.block_until_ready(Tsb)
+    t0 = time.perf_counter()
+    Tsb = runb(sb, fb, packed_b)
+    jax.block_until_ready(Tsb)
+    wallb = time.perf_counter() - t0
+    batched_fps = len(rest) * img_b / wallb
+    FIELDS.update({
+        "img_fps": round(batched_fps, 1),
+        "img_batch": img_b,
+        "img_vs_baseline": round(batched_fps / baseline, 3),
+    })
+    if not np.isfinite(np.asarray(Tsb)).all():
+        raise BenchNumericError("image-mode produced non-finite poses")
+
+
+def main():
+    global _EXIT_CODE
+    try:
+        # --- stage 1: flagship PCW (always runs; its numbers are the
+        # headline and print even if later stages die) ---
+        fib, fresh_states, gt, T, B, compile_s = stage_pcw()
+
+        # compile-cost model for the gate: a cold consistency compile is
+        # the largest program (~1.5x the base runner); warm-cache runs
+        # measure compile_s ~ seconds and sail through every gate.
+        cons_est = max(1.5 * compile_s, 20.0)
+        img_est = max(2.0 * compile_s, 30.0)
+
+        # --- stage 2: consistency stack ---
+        if os.environ.get("BENCH_CONSISTENCY", "1") == "0":
+            FIELDS["consistency_disabled"] = True
+        elif remaining() < cons_est + 15.0:
+            FIELDS["consistency_skipped_for_budget"] = round(remaining(), 1)
+        else:
+            try:
+                stage_consistency(fib, fresh_states, gt, T, B)
+            except BenchNumericError as e:
+                FIELDS["consistency_numeric_failure"] = str(e)[:200]
+                _EXIT_CODE = 2
+            except (RuntimeError, OSError) as e:
+                # relay / compile-infrastructure failure: report and move
+                # on (the PCW number must still print), but only for
+                # runtime-class errors — a TypeError/ValueError is a real
+                # bug and propagates to the outer handler
+                FIELDS["consistency_error"] = \
+                    f"{type(e).__name__}: {e}"[:200]
+
+        # --- stage 3: image mode ---
+        if os.environ.get("BENCH_IMG", "1") == "0":
+            FIELDS["img_disabled"] = True
+        elif remaining() < img_est + 15.0:
+            FIELDS["img_skipped_for_budget"] = round(remaining(), 1)
+        else:
+            try:
+                stage_image()
+            except BenchNumericError as e:
+                FIELDS["img_numeric_failure"] = str(e)[:200]
+                _EXIT_CODE = 2
+            except (RuntimeError, OSError) as e:
+                FIELDS["img_error"] = f"{type(e).__name__}: {e}"[:200]
+    except BenchNumericError as e:
+        FIELDS["numeric_failure"] = str(e)[:200]
+        _EXIT_CODE = 2
+    finally:
+        emit()
+    sys.exit(_EXIT_CODE)
 
 
 if __name__ == "__main__":

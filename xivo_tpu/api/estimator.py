@@ -631,7 +631,23 @@ class Estimator:
         fid, xp, _ = self.tracked_features()
         return fid, xp
 
-    def Visualize(self, save_path: Optional[str] = None):
+    def Visualize(self, save_path: Optional[str] = None,
+                  live: bool = False, img=None):
+        """Static track canvas, or — with live=True — an incremental 3D
+        trajectory/frustum/landmark view (Viewer::Refresh parity,
+        src/viewer.h:17-49) that persists across calls."""
+        if live:
+            if getattr(self, "_live_viewer", None) is None:
+                from ..viz_live import LiveViewer
+                p = self.cfg.cam_params
+                self._live_viewer = LiveViewer(
+                    name=self.name or "xivo_tpu",
+                    imh=int(p[0]), imw=int(p[1]), fx=float(p[2]),
+                    fy=float(p[3]), cx=float(p[4]), cy=float(p[5]))
+            self._live_viewer.update_from_estimator(self, img=img)
+            if save_path:
+                self._live_viewer.save_frame(save_path)
+            return self._live_viewer
         from ..viz import plot_tracks
         return plot_tracks(self, save_path)
 

@@ -301,7 +301,6 @@ def close_loop(cfg: VIOConfig, s: VIOState, ms: MapState,
         # filter — e.g. aliased texture — and one such row can bend the
         # whole trajectory; the per-row Mahalanobis test keeps only
         # closures consistent with the state to lc_MH_thresh)
-        from ..filter.update import mh_distances
         idx = jnp.arange(F)
         if s.P.shape[0] != s.P.shape[1]:
             from ..filter.sqrt_form import factor_innovation_blocks

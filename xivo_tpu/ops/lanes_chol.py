@@ -42,6 +42,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 _FLOOR = 1e-30
 
+# VMEM budget for auto-shrinking the lane block (the pallas_call caps
+# vmem_limit_bytes at 100 MB; leave headroom for Mosaic scratch).
+_VMEM_BUDGET = 80 * 1024 * 1024
+
+
+def _safe_lane_block(m: int, requested: int, n_bufs: int) -> int:
+    """Largest multiple-of-128 lane block whose n_bufs (m, m, Bl) f32
+    buffers fit the VMEM budget, or 0 if even Bl=128 does not fit.
+
+    The kernels unroll their column loop over m, so they are *designed*
+    for small m (<= ~128); larger m (the D=228 recompression factor,
+    the m=216 OOS stack) still lowers correctly but must not exceed
+    VMEM — at m=228, Bl=256, two buffers are ~106 MB (advisor r3 #2).
+    """
+    Bl = max(128, (requested // 128) * 128)
+    while Bl > 128 and n_bufs * m * m * Bl * 4 > _VMEM_BUDGET:
+        Bl -= 128
+    if n_bufs * m * m * 128 * 4 > _VMEM_BUDGET:
+        return 0
+    return Bl
+
 
 def _rs_of(piv3):
     """(1, 1, Bl) masked reciprocal square root of the pivot."""
@@ -165,7 +186,10 @@ def chol_lanes(G: jnp.ndarray, lane_block: int = 128) -> jnp.ndarray:
     if jax.default_backend() != "tpu" or G.dtype != jnp.float32:
         return _chol_fallback(G)
     B, m, _ = G.shape
-    Bl = max(128, (lane_block // 128) * 128)
+    # aliased in/out: one live (m, m, Bl) buffer
+    Bl = _safe_lane_block(m, lane_block, n_bufs=1)
+    if Bl == 0:
+        return _chol_fallback(G)
     Gt, Bp = _pad_lanes(G, Bl)
     out = _call(_chol_lanes_kernel, m, Gt, Bp, Bl)
     out = out * _tril_mask(m)     # upper half held symmetric work data
@@ -183,7 +207,11 @@ def chol_inv_lanes(G: jnp.ndarray, lane_block: int = 256):
         L = _chol_fallback(G)
         return L, _tri_inv_fallback(L)
     B, m, _ = G.shape
-    Bl = max(128, (lane_block // 128) * 128)
+    # aliased in/out0 + out1: two live (m, m, Bl) buffers
+    Bl = _safe_lane_block(m, lane_block, n_bufs=2)
+    if Bl == 0:
+        L = _chol_fallback(G)
+        return L, _tri_inv_fallback(L)
     Gt, Bp = _pad_lanes(G, Bl)
     L, LinvT = _call(_chol_inv_lanes_kernel, m, Gt, Bp, Bl, n_out=2)
     L = L * _tril_mask(m)
@@ -199,7 +227,10 @@ def tri_inv_lanes(L: jnp.ndarray, lane_block: int = 256) -> jnp.ndarray:
     if jax.default_backend() != "tpu" or L.dtype != jnp.float32:
         return _tri_inv_fallback(L)
     B, m, _ = L.shape
-    Bl = max(128, (lane_block // 128) * 128)
+    # un-aliased in + out: two live (m, m, Bl) buffers
+    Bl = _safe_lane_block(m, lane_block, n_bufs=2)
+    if Bl == 0:
+        return _tri_inv_fallback(L)
     Lt, Bp = _pad_lanes(L, Bl)
     out = _call(_tri_inv_lanes_kernel, m, Lt, Bp, Bl, alias=False)
     return jnp.swapaxes(jnp.moveaxis(out[:, :, :B], -1, 0), -1, -2)

@@ -61,8 +61,8 @@ def _gn_kernel(sp_ref, t_ref, gx_ref, gy_ref, sc_ref, pt_ref, st_ref,
                out_pt_ref, out_st_ref, *, S: int, w: int, iters: int):
     """Full GN iteration loop for one lane block.
 
-    sc_ref: (8, Bl) scalars — gxx, gxy, gyy, det, lo_x, lo_y, hi_x,
-    hi_y. pt_ref/st_ref: (2, Bl) iterate (x, y) and state (done,
+    sc_ref: (9, Bl) scalars — gxx, gxy, gyy, det, lo_x, lo_y, hi_x,
+    hi_y, eps^2. pt_ref/st_ref: (2, Bl) iterate (x, y) and state (done,
     escaped) as 0/1 floats. The iterate is in PATCH coordinates
     (caller subtracts sorig); clamp bounds likewise.
     """
