@@ -33,6 +33,11 @@ sys.path.insert(0, _REPO)
 
 import jax
 
+# CPU mode for tests of the bench plumbing itself (the session shell
+# pins the TPU backend; the env var alone loses to sitecustomize)
+if os.environ.get("XIVO_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["XIVO_PLATFORM"])
+
 # Persistent compilation cache: verified to work through the axon relay
 # (cold 1.7 s -> warm 0.25 s on a toy program). Keyed on jaxpr+backend,
 # so in-round warming makes the driver's end-of-round run compile-free.
@@ -122,6 +127,8 @@ def stage_pcw():
     # sanity: the filter must actually track, not just run
     err = np.linalg.norm(np.asarray(outs.Tsb)[0] - gt["Tsb"], axis=1)
     rmse = float(np.sqrt(np.mean(err ** 2)))
+    if os.environ.get("BENCH_FAULT") == "pcw_nan":
+        rmse = float("nan")       # seeded fault: tests/test_bench.py
 
     reps = 2
     t0 = time.perf_counter()

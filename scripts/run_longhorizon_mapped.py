@@ -36,7 +36,7 @@ def run_arm(total_time, use_lc, dtype="float64", seed=0, vis_dt=0.05,
             imu_dt=0.005, rest_time=0.6, refine_every=8.0,
             refine_iters=8, noise_gyro=1.2e-3, noise_accel=1.2e-2,
             map_capacity=4096, motion="tumvi_room", nn_thresh=None,
-            render_noise=2.0, exposure_wobble=0.05,
+            render_noise=2.0, exposure_wobble=0.05, markers=False,
             verbose=False, **overrides):
     """One arm of the study. Returns dict of metrics."""
     from xivo_tpu import cam as cam_mod
@@ -76,7 +76,8 @@ def run_arm(total_time, use_lc, dtype="float64", seed=0, vis_dt=0.05,
                       noise_gyro=noise_gyro, seed=seed, **sim_kw)
     world = TexturedBoxWorld(kind, np.asarray(intrin), 512, 512,
                              half_extents=(4.0, 4.0, 2.5),
-                             texture_scale=4.0, octaves=5, seed=seed)
+                             texture_scale=4.0, octaves=5, seed=seed,
+                             markers=markers)
     Wbc = np.asarray(cfg.X_Wbc, dtype=float)
     Rbc = np.asarray(so3.exp(jnp.asarray(Wbc)))
     Tbc = np.asarray(cfg.X_Tbc, dtype=float)
@@ -197,6 +198,10 @@ def main():
     ap.add_argument("-refine_every", type=float, default=8.0)
     ap.add_argument("-motion", default="tumvi_room")
     ap.add_argument("-nn_thresh", type=int, default=-1)
+    ap.add_argument("-markers", action="store_true",
+                    help="distinctive marker-patch world (unique "
+                         "high-contrast tiles; revisit descriptors "
+                         "actually match)")
     ap.add_argument("-verbose", action="store_true")
     args = ap.parse_args()
 
@@ -206,7 +211,7 @@ def main():
         t0 = time.perf_counter()
         r = run_arm(args.total_time, lc, dtype=args.dtype,
                     seed=args.seed, refine_every=args.refine_every,
-                    motion=args.motion,
+                    motion=args.motion, markers=args.markers,
                     nn_thresh=args.nn_thresh if args.nn_thresh > 0
                     else None,
                     verbose=args.verbose)

@@ -41,11 +41,24 @@ def main():
     ap.add_argument("-graphout", default="",
                     help="dump the visibility graph as Graphviz .dot "
                          "(reference -graphout, src/app/vio.cpp:27)")
+    ap.add_argument("-delivery_jitter_ms", type=float, default=0.0,
+                    help="perturb message DELIVERY order by up to this "
+                         "many ms (timestamps untouched) — exercises "
+                         "the reorder buffer the way real sensor "
+                         "transport does; needs message_buffer_size>0 "
+                         "in the config")
+    ap.add_argument("-jitter_seed", type=int, default=0)
     args = ap.parse_args()
 
     cfg = load_json_with_comments(args.cfg)
     est = Estimator(cfg, dtype=args.dtype)
     entries = load_dataset(args.root, args.dataset, args.seq, args.cam_id)
+    if args.delivery_jitter_ms > 0:
+        rng = np.random.default_rng(args.jitter_seed)
+        keys = [m.ts + rng.uniform(0, args.delivery_jitter_ms * 1e-3)
+                for m in entries]
+        entries = [m for _, m in sorted(zip(keys, entries),
+                                        key=lambda p: p[0])]
     writer = TrajectoryWriter(args.out)
 
     t0 = time.time()
@@ -60,12 +73,15 @@ def main():
             writer.add(msg.ts, Rsb, Tsb)
             if args.max_frames > 0 and nf >= args.max_frames:
                 break
+    est.flush()                     # drain the reorder-buffer tail
     wall = time.time() - t0
     writer.write()
     if args.graphout:
         from xivo_tpu.viz import write_graphviz
         write_graphviz(est, args.graphout)
     print(f"frames={nf} wall={wall:.1f}s fps={nf / max(wall, 1e-9):.1f} "
+          f"misordered_dropped={est.num_misordered_dropped()} "
+          f"td={float(est.td()):+.4f}s "
           f"-> {args.out}")
 
 

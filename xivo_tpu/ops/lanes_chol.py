@@ -46,6 +46,16 @@ _FLOOR = 1e-30
 # vmem_limit_bytes at 100 MB; leave headroom for Mosaic scratch).
 _VMEM_BUDGET = 80 * 1024 * 1024
 
+# Compile-time wall for the FUSED-INVERSE kernels: their on_column /
+# forward-substitution steps emit O(m) growing slices per column —
+# an O(m^2)-statement Mosaic program. At m=60 that compiles in seconds;
+# at m=216 (the OOS stack) it ran >15 min on the remote compiler and
+# was the round-3 bench timeout. Past this wall the XLA fallback
+# (masked cholesky + solve_triangular, ~0.7-9 ms per frame-batch) is
+# the right trade: the OOS update runs once per frame, so the extra
+# milliseconds cost ~2x consistency-stage throughput, not 100x.
+_MAX_INV_UNROLL = 128
+
 
 def _safe_lane_block(m: int, requested: int, n_bufs: int) -> int:
     """Largest multiple-of-128 lane block whose n_bufs (m, m, Bl) f32
@@ -203,7 +213,8 @@ def chol_inv_lanes(G: jnp.ndarray, lane_block: int = 256):
     Designed for the m x m innovation factor (m <= ~128): with L^-1
     explicit, every downstream triangular solve becomes an MXU matmul.
     """
-    if jax.default_backend() != "tpu" or G.dtype != jnp.float32:
+    if jax.default_backend() != "tpu" or G.dtype != jnp.float32 \
+            or G.shape[-1] > _MAX_INV_UNROLL:
         L = _chol_fallback(G)
         return L, _tri_inv_fallback(L)
     B, m, _ = G.shape
@@ -224,7 +235,8 @@ def chol_inv_lanes(G: jnp.ndarray, lane_block: int = 256):
 def tri_inv_lanes(L: jnp.ndarray, lane_block: int = 256) -> jnp.ndarray:
     """Explicit inverse of (B, m, m) lower-triangular float32 matrices
     (positive or dead-zero diagonals)."""
-    if jax.default_backend() != "tpu" or L.dtype != jnp.float32:
+    if jax.default_backend() != "tpu" or L.dtype != jnp.float32 \
+            or L.shape[-1] > _MAX_INV_UNROLL:
         return _tri_inv_fallback(L)
     B, m, _ = L.shape
     # un-aliased in + out: two live (m, m, Bl) buffers

@@ -100,7 +100,9 @@ class TexturedBoxWorld:
 
     def __init__(self, kind: int, intrin, w: int, h: int,
                  half_extents=(5.0, 5.0, 3.0), texture_scale=3.0,
-                 octaves=4, seed=0, base=60.0, contrast=150.0):
+                 octaves=4, seed=0, base=60.0, contrast=150.0,
+                 markers=False, marker_cell=1.2, marker_frac=0.5,
+                 marker_grid=6):
         self.rays = pixel_rays(kind, intrin, w, h)       # (h, w, 3)
         self.half = np.asarray(half_extents, np.float64)
         self.scale = texture_scale
@@ -108,23 +110,62 @@ class TexturedBoxWorld:
         self.seed = seed
         self.base = base
         self.contrast = contrast
+        # distinctive-landmark mode: every marker_cell x marker_cell
+        # wall tile carries a UNIQUE high-contrast binary patch (hash
+        # keyed on wall id + tile index), so revisit descriptors are
+        # globally distinguishable — the property procedural fBm texture
+        # lacks (round-3 finding: aliased BRIEF under lap-to-lap wander)
+        self.markers = markers
+        self.mcell = float(marker_cell)
+        self.mfrac = float(marker_frac)
+        self.mgrid = int(marker_grid)
 
     def hit_points(self, Rsc, Tsc):
         """Ray/box-interior intersection. Returns (points (h,w,3),
-        depth (h,w)) — camera must be inside the box."""
+        depth (h,w), wall id (h,w) in 0..5) — camera inside the box."""
         d = self.rays @ np.asarray(Rsc).T                 # world dirs
         o = np.asarray(Tsc)
         with np.errstate(divide="ignore"):
             t_axis = (np.sign(d) * self.half[None, None, :] - o) / d
         t_axis = np.where(np.abs(d) < 1e-12, np.inf, t_axis)
-        t = np.min(t_axis, axis=-1)
-        return o + t[..., None] * d, t
+        axis = np.argmin(t_axis, axis=-1)
+        t = np.take_along_axis(t_axis, axis[..., None], -1)[..., 0]
+        sgn = np.take_along_axis(np.sign(d).astype(np.int64),
+                                 axis[..., None], -1)[..., 0]
+        wall = axis * 2 + (sgn > 0)
+        return o + t[..., None] * d, t, wall
+
+    def _stamp_markers(self, tex, p, wall):
+        """Overwrite tex (in [0,1]) with the unique binary patch of any
+        marker tile the hit point lands in."""
+        C, K = self.mcell, self.mgrid
+        s = self.mfrac * C
+        # per-wall 2D parameterization: the two non-normal coordinates
+        ax = wall // 2
+        u = np.choose(ax, [p[..., 1], p[..., 0], p[..., 0]])
+        v = np.choose(ax, [p[..., 2], p[..., 2], p[..., 1]])
+        ci, cj = np.floor(u / C), np.floor(v / C)
+        lu, lv = u - ci * C, v - cj * C
+        inx = np.abs(lu - C / 2) < s / 2
+        iny = np.abs(lv - C / 2) < s / 2
+        inpatch = inx & iny
+        gx = np.clip(((lu - (C - s) / 2) / s * K).astype(np.int64),
+                     0, K - 1)
+        gy = np.clip(((lv - (C - s) / 2) / s * K).astype(np.int64),
+                     0, K - 1)
+        # unique bit per (wall, tile, grid square)
+        bit = _hash01(ci.astype(np.int64) * K + gx,
+                      cj.astype(np.int64) * K + gy,
+                      wall, self.seed + 9173) > 0.5
+        return np.where(inpatch, np.where(bit, 0.96, 0.04), tex)
 
     def render(self, Rsc, Tsc, exposure=1.0, blur_px=0.0, noise_std=0.0,
                rng=None):
         """Render one (h, w) float32 frame at camera pose (Rsc, Tsc)."""
-        p, t = self.hit_points(Rsc, Tsc)
+        p, t, wall = self.hit_points(Rsc, Tsc)
         tex = fbm3(p * self.scale, octaves=self.octaves, seed=self.seed)
+        if self.markers:
+            tex = self._stamp_markers(tex, p, wall)
         # mild distance shading — keeps walls distinguishable and gives
         # the intensity a low-frequency component like real rooms
         shade = 1.0 / (1.0 + 0.06 * t)
