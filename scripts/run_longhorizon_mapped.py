@@ -53,8 +53,8 @@ def run_arm(total_time, use_lc, dtype="float64", seed=0, vis_dt=0.05,
     from xivo_tpu.sim.texture import TexturedBoxWorld
     from tests.test_tumvi_rehearsal import TUMVI_CFG
 
-    if motion == "orbit":
-        # the orbit starts mid-motion (no rest segment); seed the true
+    if motion in ("orbit", "loop"):
+        # these start mid-motion (no rest segment); seed the true
         # initial velocity (sim/imu_sim.py init_Vsb) and skip rest
         overrides.setdefault("X_Vsb", (0.9, 0.0, 0.45))
         rest_time = 0.0

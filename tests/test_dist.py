@@ -62,6 +62,7 @@ def test_sharded_retrieval_matches_bruteforce():
     assert np.all(np.asarray(dist)[:8] == 0)
 
 
+@pytest.mark.slow
 def test_multi_sequence_sharded_runner():
     """The data-parallel filter scan over the mesh (dryrun path)."""
     mesh = mesh8()

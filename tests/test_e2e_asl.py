@@ -21,6 +21,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: XIVO_SLOW=1 runs these
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -16,6 +16,8 @@ from xivo_tpu.sim import get_imu_sim
 from xivo_tpu.sim.render import render_dots
 from tests.test_e2e_pcw import PCW_CFG
 
+pytestmark = pytest.mark.slow  # heavy tier: XIVO_SLOW=1 runs these
+
 IMG_CFG = dict(PCW_CFG)
 IMG_CFG["tracker_cfg"] = {
     "tracker_type": "LK", "detector": "FAST",

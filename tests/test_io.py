@@ -55,6 +55,7 @@ def build_synthetic_asl(tmpdir, T=2.0, imu_dt=0.01, vis_dt=0.1):
     return imu, cfg
 
 
+@pytest.mark.slow
 def test_asl_roundtrip_and_replay(tmp_path):
     imu, _ = build_synthetic_asl(str(tmp_path))
     entries = load_asl(str(tmp_path / "seq" / "cam0"),

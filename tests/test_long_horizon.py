@@ -3,6 +3,7 @@ persistent visibility (orbit motion). Guards against covariance decay /
 drift accumulation in f32."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from xivo_tpu.filter.config import config_from_json
 from xivo_tpu.filter.state import init_state
@@ -33,6 +34,7 @@ def test_30s_float32_orbit():
     assert np.isfinite(P).all()
 
 
+@pytest.mark.slow
 def test_30s_traversing_trajectory_tube_world():
     """Long-horizon stability on a TRAVERSING trajectory (tens of
     meters). With a box-uniform world the camera sweeps feature-free

@@ -25,6 +25,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy tier: XIVO_SLOW=1 runs these
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

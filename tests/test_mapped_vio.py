@@ -3,6 +3,7 @@ together on the PCW sim (BASELINE config 5 shape, single device)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from xivo_tpu.filter.config import config_from_json
 from xivo_tpu.filter.state import init_state
@@ -10,6 +11,8 @@ from xivo_tpu.map import init_map
 from xivo_tpu.map.integration import vio_frame_mapped
 from xivo_tpu.sim.stream import build_pcw_stream
 from tests.test_e2e_pcw import PCW_CFG
+
+pytestmark = pytest.mark.slow  # heavy tier: XIVO_SLOW=1 runs these
 
 
 def test_mapped_vio_runs_and_map_grows():

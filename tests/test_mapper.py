@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from xivo_tpu.map import (init_map, map_insert, p3p_grunert, pnp_ransac)
 from xivo_tpu.frontend import brief
@@ -126,6 +127,7 @@ def test_close_loop_corrects_drifted_pose():
     assert resid < 0.1 * np.linalg.norm(drift), (np.asarray(s2.X.Tsb))
 
 
+@pytest.mark.slow
 def test_close_loop_with_sharded_retrieval_matches():
     """Map-scale path: the same LC step with the descriptor table
     sharded over the 8-device mesh (dist/retrieval) gives the same

@@ -1,6 +1,7 @@
 """MSCKF/OOS update tests."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from xivo_tpu.filter.config import config_from_json
 from tests.test_e2e_pcw import PCW_CFG, run_scan
@@ -59,6 +60,7 @@ def _churn_scenario(**overrides):
     return float(np.sqrt((err ** 2).mean())), outs
 
 
+@pytest.mark.slow
 def test_oos_ab_improves_ate_under_churn():
     """A/B: under heavy feature churn the MSCKF harvest (use_OOS +
     pose cloning) measurably improves ATE over discarding the dying
@@ -73,6 +75,7 @@ def test_oos_ab_improves_ate_under_churn():
     assert int(np.asarray(outs_on.num_oos_dropped).sum()) == 0
 
 
+@pytest.mark.slow
 def test_oos_cap_overflow_is_reported():
     """The static oos_feature_cap must not truncate silently: candidates
     beyond the cap surface in StepOutputs.num_oos_dropped."""

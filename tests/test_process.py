@@ -1,5 +1,6 @@
 """EstimatorProcess (async worker + publishers) test."""
 import numpy as np
+import pytest
 
 from xivo_tpu.api import Estimator
 from xivo_tpu.api.process import EstimatorProcess
@@ -8,6 +9,7 @@ from xivo_tpu.sim import RandomPCW, get_imu_sim
 from tests.test_e2e_pcw import PCW_CFG
 
 
+@pytest.mark.slow
 def test_async_process_matches_sync():
     cfg = config_from_json(PCW_CFG, dtype="float64",
                            sim_initialize_depths=True)

@@ -75,6 +75,7 @@ def test_vi_bootstrap_visual_only(orbit_stream):
     assert np.mean(errs) < 0.5, errs
 
 
+@pytest.mark.slow
 def test_segment_parallel_matches_sequential(orbit_stream):
     """4 overlapping segments, each cold-started by the closed-form init,
     run as one vmapped batch and fused: ATE within 5x of the
@@ -93,6 +94,7 @@ def test_segment_parallel_matches_sequential(orbit_stream):
         assert ni[k, plan.core_len - 1] > 10, (k, ni[k, plan.core_len - 1])
 
 
+@pytest.mark.slow
 def test_seeded_sequential_beats_cold_start(orbit_stream):
     """Single-segment use of the seeder: a mid-motion start with the
     closed-form init tracks ~10x tighter than the v=0 cold start."""

@@ -206,6 +206,7 @@ def test_e2e_sqrt_float32_tracks():
     assert validate_state(cfg, s) == []
 
 
+@pytest.mark.slow
 def test_e2e_sqrt_with_options():
     """sqrt form composes with OOS, FEJ, init-cov correlations, 1pt
     RANSAC and Huber (exercises every factor-path branch)."""

@@ -25,6 +25,8 @@ from xivo_tpu.geom import so3
 from xivo_tpu.sim import get_imu_sim
 from xivo_tpu.sim.texture import TexturedBoxWorld
 
+pytestmark = pytest.mark.slow  # heavy tier: XIVO_SLOW=1 runs these
+
 # the TUM-VI cam0 geometry (cfg/tumvi_cam0.json:183-195) with the
 # shipped tracker regime (FAST+BRIEF LK, prediction, rescue,
 # homography RANSAC — :213-260)

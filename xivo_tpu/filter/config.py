@@ -117,6 +117,12 @@ class VIOConfig:
     # propagation_mode="fast"; measurement-side counterpart is use_fej).
     # Improvement over the reference (no consistency machinery there).
     use_oc: bool = False
+    # measurement-side OC: project H rows onto the observable subspace
+    # (H N = 0 at first estimates; filter/update.py::oc_project_rows).
+    # Complements use_oc (transition-side) — with partially-applied FEJ
+    # the raw rows leak linearization-drift-sized information into the
+    # global translation/yaw directions.
+    use_oc_meas: bool = False
     ransac_thresh: float = 5.0
     ransac_prob: float = 0.95
     ransac_Chi2: float = 5.89
@@ -272,6 +278,12 @@ class VIOConfig:
     Qmodel_Wsb: float = 0.0
     Qmodel_Wbc: float = 0.0
     Qmodel_Wsg: float = 0.0
+    # extrinsic-translation random walk: models linearization-drift
+    # error in the camera-IMU translation (the measured tube-world bias
+    # floor, tests/test_consistency.py) so its covariance keeps a floor
+    # instead of collapsing below the bias -- the NEES-honest option
+    # the reference's Qmodel (src/estimator.cpp:590) lacks
+    Qmodel_Tbc: float = 0.0
 
     Qimu_gyro: Tuple[float, float, float] = (1e-3,) * 3
     Qimu_accel: Tuple[float, float, float] = (1e-2,) * 3
@@ -495,7 +507,7 @@ def config_from_json(cfg: dict, dims: Optional[Dims] = None,
         else (P.get("FC", 0.0), P.get("FC", 0.0)),
         P_distortion=P.get("distortion", 0.0),
         Qmodel_Wsb=Qm.get("Wsb", 0.0), Qmodel_Wbc=Qm.get("Wbc", 0.0),
-        Qmodel_Wsg=Qm.get("Wsg", 0.0),
+        Qmodel_Wsg=Qm.get("Wsg", 0.0), Qmodel_Tbc=Qm.get("Tbc", 0.0),
         Qimu_gyro=q3("gyro", 1e-3), Qimu_accel=q3("accel", 1e-2),
         Qimu_gyro_bias=q3("gyro_bias", 1e-4),
         Qimu_accel_bias=q3("accel_bias", 1e-5),

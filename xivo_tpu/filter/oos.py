@@ -209,6 +209,14 @@ def oos_update(cfg: VIOConfig, s: VIOState, candidate_rows):
     innm = inn_o * rv.astype(dtype)
     diagRm = jnp.where(rv, diagR, 1.0)
 
+    if cfg.use_oc_meas:
+        # same observability projection as the instate update: group
+        # blocks here are linearized at CURRENT estimates, which drift
+        # between updates; forcing H N(fej) = 0 keeps the multi-view
+        # rows from leaking global translation/yaw information
+        from .update import oc_nullspace, oc_project_rows
+        Hm = oc_project_rows(Hm, oc_nullspace(cfg, s))
+
     if cfg.use_compression and Hm.shape[0] > int(
             cfg.compression_trigger_ratio * d.full):
         # Measurement compression (use_compression, the reference's

@@ -32,6 +32,67 @@ class StackedJac(NamedTuple):
     pred: jnp.ndarray     # (F, 2) predicted pixels per slot
 
 
+def oc_nullspace(cfg: VIOConfig, s: VIOState) -> jnp.ndarray:
+    """(D, 4) basis of the global-transform unobservable subspace at the
+    FIRST-ESTIMATE linearization points: columns 0-2 global translation,
+    column 3 global yaw about gravity.
+
+    Right-multiplicative body-frame error convention (same as
+    propagate.oc_correct_phi): under (R_y = Exp(phi g x), t) the error
+    directions are dWsb = Rsb^T g, dTsb = t + phi (g x Tsb),
+    dVsb = phi (g x Vsb); group clones likewise at their FEJ poses.
+    Feature rows are ZERO: the local (X/Z, Y/Z, log Z)-in-ref-cam
+    parameterization is invariant under global transforms — one of the
+    payoffs of the group-anchored design (ARCHITECTURE.md). Extrinsics,
+    biases, intrinsics and td are invariant; the 2-dim Wsg block drops
+    the (unobservable) z-rotation entry, which is exactly the yaw
+    direction, so its rows are zero too.
+    """
+    d = cfg.dims
+    dtype = s.P.dtype
+    g0 = jnp.asarray(cfg.gravity, dtype)
+    gs = s.X.Rsg @ g0
+    ghat = gs / (jnp.linalg.norm(gs) + 1e-20)
+    hg = so3.hat(ghat)
+
+    N = jnp.zeros((d.full, 4), dtype)
+    N = N.at[L.TSB:L.TSB + 3, 0:3].set(jnp.eye(3, dtype=dtype))
+    N = N.at[L.WSB:L.WSB + 3, 3].set(s.X.Rsb.T @ ghat)
+    N = N.at[L.TSB:L.TSB + 3, 3].set(hg @ s.X.Tsb)
+    N = N.at[L.VSB:L.VSB + 3, 3].set(hg @ s.X.Vsb)
+
+    G = d.n_groups
+    NGR = s.groups.gid.shape[0]
+    rows = jnp.maximum(s.g2row, 0)
+    ok = (s.g2row >= 0).astype(dtype)
+    Rf = oh_take(s.groups.Rsb_fej, rows, NGR)        # (G, 3, 3)
+    Tf = oh_take(s.groups.Tsb_fej, rows, NGR)        # (G, 3)
+    Ng = jnp.zeros((G, 6, 4), dtype)
+    Ng = Ng.at[:, 0:3, 3].set(jnp.einsum("gij,i->gj", Rf, ghat)
+                              * ok[:, None])
+    Ng = Ng.at[:, 3:6, 3].set(Tf @ hg.T * ok[:, None])
+    Ng = Ng.at[:, 3:6, 0:3].set(jnp.eye(3, dtype=dtype)[None]
+                                * ok[:, None, None])
+    return N.at[L.GROUP_BEGIN:L.GROUP_BEGIN + 6 * G, :].set(
+        Ng.reshape(6 * G, 4))
+
+
+def oc_project_rows(H: jnp.ndarray, N: jnp.ndarray) -> jnp.ndarray:
+    """Project measurement rows onto the observable subspace:
+    H <- H - (H N)(N^T N)^-1 N^T, so H N = 0 EXACTLY and no spurious
+    information enters along global translation/yaw (the
+    measurement-side OC counterpart of oc_correct_phi; Hesch et al.
+    TRO'13). With partially-applied FEJ (clone blocks at first
+    estimates, motion block at the current prior) the raw rows have
+    H N != 0 of linearization-drift size — measured NEES inflation
+    ~10x on the tube-world study — and this projection removes it.
+    Zero rows stay exactly zero (the operation is linear)."""
+    HN = jnp.matmul(H, N, precision=jax.lax.Precision.HIGHEST)
+    Gm = jnp.matmul(N.T, N, precision=jax.lax.Precision.HIGHEST)
+    Gm = Gm + 1e-12 * jnp.trace(Gm) * jnp.eye(4, dtype=H.dtype)
+    return H - HN @ jnp.linalg.solve(Gm, N.T)
+
+
 def build_stacked_jacobian(cfg: VIOConfig, s: VIOState) -> StackedJac:
     """Compute Jacobian rows for every occupied feature slot.
 
@@ -112,8 +173,10 @@ def build_stacked_jacobian(cfg: VIOConfig, s: VIOState) -> StackedJac:
     Hgrp = jnp.einsum("fg,frk->frgk", oh, Jg).reshape(F, 2, 6 * G)
     Hfeat = jnp.einsum("fg,frk->frgk", jnp.eye(F, dtype=dtype),
                        Jf).reshape(F, 2, 3 * F)
-    H = jnp.concatenate([Jm, Jc, Hgrp, Hfeat], axis=2)
-    return StackedJac(H=H.reshape(2 * F, D),
+    H = jnp.concatenate([Jm, Jc, Hgrp, Hfeat], axis=2).reshape(2 * F, D)
+    if cfg.use_oc_meas:
+        H = oc_project_rows(H, oc_nullspace(cfg, s))
+    return StackedJac(H=H,
                       inn=inn.reshape(2 * F),
                       valid=valid, pred=pred)
 

@@ -143,6 +143,25 @@ def get_imu_sim(motion_type: str = "lissajous", **kw) -> IMUSim:
                              0.06 * np.sin(0.2 * t)])
         kw.setdefault("init_Vsb", np.array([2.0 * w1, 0.0, 0.5 * w2]))
         return IMUSim(accel_s, gyro, **kw)
+    if motion_type == "loop":
+        # like "orbit" but with the gyro harmonics LOCKED to the orbit
+        # frequency: position is exactly periodic and orientation
+        # repeats up to a small holonomy each lap (~14 s), so revisits
+        # see the SAME viewpoint — the regime where descriptor loop
+        # closure is supposed to pay (corridor-loop shape)
+        w1 = 0.45
+
+        def accel_s(t):
+            return np.array([-2.0 * w1 * w1 * np.sin(w1 * t),
+                             -2.0 * w1 * w1 * np.cos(w1 * t),
+                             -0.5 * (2 * w1) ** 2 * np.sin(2 * w1 * t)])
+
+        def gyro(t):
+            return np.array([0.10 * np.sin(w1 * t),
+                             0.08 * np.sin(2 * w1 * t),
+                             0.06 * np.sin(w1 * t)])
+        kw.setdefault("init_Vsb", np.array([2.0 * w1, 0.0, w1]))
+        return IMUSim(accel_s, gyro, **kw)
     if motion_type == "tumvi_room":
         # TUM-VI-room-shaped motion: STATIONARY for rest_time seconds
         # (gravity init from rest, src/estimator.cpp:439-473), then

@@ -101,8 +101,8 @@ class TexturedBoxWorld:
     def __init__(self, kind: int, intrin, w: int, h: int,
                  half_extents=(5.0, 5.0, 3.0), texture_scale=3.0,
                  octaves=4, seed=0, base=60.0, contrast=150.0,
-                 markers=False, marker_cell=1.2, marker_frac=0.5,
-                 marker_grid=6):
+                 markers=False, marker_cell=2.0, marker_frac=0.6,
+                 marker_grid=3):
         self.rays = pixel_rays(kind, intrin, w, h)       # (h, w, 3)
         self.half = np.asarray(half_extents, np.float64)
         self.scale = texture_scale
@@ -114,7 +114,12 @@ class TexturedBoxWorld:
         # wall tile carries a UNIQUE high-contrast binary patch (hash
         # keyed on wall id + tile index), so revisit descriptors are
         # globally distinguishable — the property procedural fBm texture
-        # lacks (round-3 finding: aliased BRIEF under lap-to-lap wander)
+        # lacks (round-3 finding: aliased BRIEF under lap-to-lap wander).
+        # Square size sets the match tolerance to detection-time
+        # quantization: measured revisit match rates at 0.5 s trajectory
+        # offset are 13/64 (6x6 grid, ~6 px squares) vs 56/64 (3x3
+        # grid, ~20 px squares) — big squares keep BRIEF bits stable
+        # under the ~1 px corner re-localization between laps
         self.markers = markers
         self.mcell = float(marker_cell)
         self.mfrac = float(marker_frac)
