@@ -58,10 +58,14 @@ def measure(n_dev: int, seqs_per_dev: int, fi, gt, cfg,
     run = make_sharded_runner(cfg, mesh)
     s, outs = run(states(), fib)
     jax.block_until_ready(outs.Tsb)
-    t0 = time.perf_counter()
-    s, outs = run(states(), fib)
-    jax.block_until_ready(outs.Tsb)
-    wall = time.perf_counter() - t0
+    # best-of-3: emulated meshes share physical cores with the host,
+    # so single-shot walls are scheduler-noise-dominated
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s, outs = run(states(), fib)
+        jax.block_until_ready(outs.Tsb)
+        wall = min(wall, time.perf_counter() - t0)
     T = int(fi.frame_dt.shape[0])
     return B * T / wall
 
@@ -70,7 +74,8 @@ def main():
     cfg = config_from_json(PCW_CFG, dtype="float32",
                            sim_initialize_depths=True,
                            propagation_mode="fast")
-    fi, gt = build_pcw_stream(cfg, total_time=2.0)
+    fi, gt = build_pcw_stream(
+        cfg, total_time=float(os.environ.get("SCALING_T", "2.0")))
     seqs_per_dev = int(os.environ.get("SCALING_SEQS", "4"))
     n_max = len(jax.devices())
     emulated = "CPU" in str(jax.devices()[0]).upper()

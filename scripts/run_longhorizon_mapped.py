@@ -42,7 +42,8 @@ def run_arm(total_time, use_lc, dtype="float64", seed=0, vis_dt=0.05,
     from xivo_tpu import cam as cam_mod
     from xivo_tpu.filter.config import config_from_json
     from xivo_tpu.filter.pipeline import propagate_frame, update_step
-    from xivo_tpu.filter.state import FS_READY, TS_DROPPED, init_state
+    from xivo_tpu.filter.state import (FS_READY, TS_DROPPED, TS_TRACKED,
+                                       init_state)
     from xivo_tpu.frontend import init_frontend
     from xivo_tpu.frontend.tracker import tracker_image
     from xivo_tpu.geom import so3
@@ -106,6 +107,14 @@ def run_arm(total_time, use_lc, dtype="float64", seed=0, vis_dt=0.05,
             & ((fr.sind >= 0) | ((fr.status == FS_READY) & conv))
         bm = retire_features_obs(cfg, s, bm, retire)
         s, out = update_step(cfg, s)
+        if cfg.lc_keyframe_every > 0:
+            # keyframe-style snapshots (config.py lc_keyframe_every):
+            # the death-only map starves on smooth loops
+            fr2 = s.features
+            do_kf = (s.vision_counter % cfg.lc_keyframe_every) == 0
+            kf_mask = fr2.active & (fr2.sind >= 0) \
+                & (fr2.track == TS_TRACKED) & do_kf
+            bm = retire_features_obs(cfg, s, bm, kf_mask)
         if use_lc:
             s, n_lc = close_loop(cfg, s, as_mapstate(bm),
                                  nn_dist_thresh=nn_thresh,

@@ -226,6 +226,18 @@ class VIOConfig:
     # landmark fuses into its map match instead of duplicating
     map_merge_on_retire: bool = True
     map_merge_radius: float = 0.5
+    # keyframe-style map insertion (improvement over the reference's
+    # retire-on-death-only mapper): every N frames the CURRENT instate
+    # features are snapshotted into the map with their live descriptors.
+    # On smooth trajectories tracks survive whole revisit loops, so the
+    # death-only map is both sparse and worst-viewpoint (descriptors
+    # captured at the moment tracking FAILS); periodic snapshots give
+    # the map viewpoint coverage along the path. 0 = off.
+    lc_keyframe_every: int = 0
+    # loop-closure targets must be at least this many frames old:
+    # a just-inserted entry restates information the filter still
+    # carries, and closing against it double-counts. 0 = off.
+    lc_min_age_frames: int = 0
 
     # out-of-order message buffering (src/estimator.h:556-561,
     # MESSAGE_BUFFER_SIZE default 10; drained in src/estimator.cpp:

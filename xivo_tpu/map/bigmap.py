@@ -37,6 +37,7 @@ class BigMapState(NamedTuple):
     valid: jnp.ndarray     # (M,)
     obs_xn: jnp.ndarray    # (M,O,2) normalized-plane observations
     obs_kf: jnp.ndarray    # (M,O) int32 keyframe slot, -1 invalid
+    epoch: jnp.ndarray     # (M,) int32 vision_counter at insertion
     write_ptr: jnp.ndarray
     count: jnp.ndarray
     # keyframe ring (replicated; camera-to-world poses)
@@ -58,6 +59,7 @@ def init_bigmap(cfg: VIOConfig, capacity: int = 4096, obs_cap: int = 8,
         valid=jnp.zeros((capacity,), bool),
         obs_xn=jnp.zeros((capacity, obs_cap, 2), dtype),
         obs_kf=jnp.full((capacity, obs_cap), -1, jnp.int32),
+        epoch=jnp.zeros((capacity,), jnp.int32),
         write_ptr=jnp.asarray(0, jnp.int32),
         count=jnp.asarray(0, jnp.int32),
         kf_R=jnp.tile(jnp.eye(3, dtype=dtype), (kf_capacity, 1, 1)),
@@ -139,6 +141,7 @@ def retire_features_obs(cfg: VIOConfig, s: VIOState, bm: BigMapState,
         valid=bm.valid.at[ltgt].set(True),
         obs_xn=bm.obs_xn.at[ltgt].set(obs_xn),
         obs_kf=bm.obs_kf.at[ltgt].set(obs_kf),
+        epoch=bm.epoch.at[ltgt].set(s.vision_counter.astype(jnp.int32)),
         write_ptr=(bm.write_ptr + jnp.sum(retire.astype(jnp.int32))) % M,
         count=bm.count + jnp.sum(retire.astype(jnp.int32)),
         kf_R=kf_R, kf_T=kf_T, kf_valid=kf_valid, kf_ptr=kf_ptr,
@@ -206,7 +209,7 @@ def as_mapstate(bm: BigMapState):
     M = bm.Xs.shape[0]
     dt = bm.Xs.dtype
     return MapState(
-        Xs=bm.Xs, desc=bm.desc, valid=bm.valid,
+        Xs=bm.Xs, desc=bm.desc, valid=bm.valid, epoch=bm.epoch,
         # BA-refined landmarks carry no covariance table; a small
         # isotropic prior keeps the LC R inflation well-defined
         cov=jnp.tile(0.01 * jnp.eye(3, dtype=dt), (M, 1, 1)),

@@ -15,8 +15,20 @@ import jax.numpy as jnp
 from ..filter.config import VIOConfig
 from ..filter.pipeline import (propagate_frame as _propagate_frame,
                                tracker_pointcloud, update_step)
-from ..filter.state import TS_DROPPED, VIOState
+from ..filter.state import TS_DROPPED, TS_TRACKED, VIOState
 from .mapper import MapState, close_loop, retire_features
+
+
+def _keyframe_insert(cfg: VIOConfig, s: VIOState, ms: MapState):
+    """Periodic snapshot of instate features into the map
+    (cfg.lc_keyframe_every; see config.py — smooth trajectories never
+    drop tracks, so the death-only map starves)."""
+    if cfg.lc_keyframe_every <= 0:
+        return ms
+    fr = s.features
+    do = (s.vision_counter % cfg.lc_keyframe_every) == 0
+    mask = fr.active & (fr.sind >= 0) & (fr.track == TS_TRACKED) & do
+    return retire_features(cfg, s, ms, mask)
 
 
 def vio_frame_mapped(cfg: VIOConfig, s: VIOState, ms: MapState,
@@ -32,6 +44,7 @@ def vio_frame_mapped(cfg: VIOConfig, s: VIOState, ms: MapState,
     retire = fr.active & (fr.track == TS_DROPPED) & (fr.sind >= 0)
     ms = retire_features(cfg, s, ms, retire)
     s, out = update_step(cfg, s)
+    ms = _keyframe_insert(cfg, s, ms)
     if cfg.detect_loop_closures:
         s, n_lc = close_loop(cfg, s, ms,
                              nn_dist_thresh=cfg.lc_nn_dist_thresh,
@@ -52,6 +65,7 @@ def vio_frame_image_mapped(cfg: VIOConfig, s: VIOState, fes, ms: MapState,
     retire = fr.active & (fr.track == TS_DROPPED) & (fr.sind >= 0)
     ms = retire_features(cfg, s, ms, retire)
     s, out = update_step(cfg, s)
+    ms = _keyframe_insert(cfg, s, ms)
     if cfg.detect_loop_closures:
         s, n_lc = close_loop(cfg, s, ms,
                              nn_dist_thresh=cfg.lc_nn_dist_thresh,

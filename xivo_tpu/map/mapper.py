@@ -36,6 +36,10 @@ class MapState(NamedTuple):
     cov: jnp.ndarray       # (M,3,3) landmark position covariance
     desc: jnp.ndarray      # (M,8) uint32 BRIEF
     gid: jnp.ndarray       # (M,) int32 anchor group id at retirement
+    epoch: jnp.ndarray     # (M,) int32 vision_counter at insertion —
+                           # close_loop only matches entries older than
+                           # lc_min_age_frames (recent entries restate
+                           # information the filter already has)
     valid: jnp.ndarray     # (M,)
     write_ptr: jnp.ndarray  # () int32 ring pointer
     count: jnp.ndarray      # () int32 total inserted (diagnostic)
@@ -48,6 +52,7 @@ def init_map(capacity: int = 20000, dtype=jnp.float32) -> MapState:
         cov=jnp.zeros((capacity, 3, 3), dtype),
         desc=jnp.zeros((capacity, 8), jnp.uint32),
         gid=jnp.full((capacity,), -1, jnp.int32),
+        epoch=jnp.zeros((capacity,), jnp.int32),
         valid=jnp.zeros((capacity,), bool),
         write_ptr=jnp.asarray(0, jnp.int32),
         count=jnp.asarray(0, jnp.int32),
@@ -71,7 +76,7 @@ def _inv3(A):
 
 def map_insert(ms: MapState, Xs, desc, valid, cov=None, gid=None,
                nn_dist_thresh: int = -1,
-               merge_radius: float = 0.5) -> MapState:
+               merge_radius: float = 0.5, epoch=None) -> MapState:
     """Insert a batch of retired landmarks, FUSING re-retired ones.
 
     Merge-on-retirement parity (src/mapper.cpp:158-222 +
@@ -92,6 +97,10 @@ def map_insert(ms: MapState, Xs, desc, valid, cov=None, gid=None,
     cov = cov.astype(dtype)
     if gid is None:
         gid = jnp.full((Xs.shape[0],), -1, jnp.int32)
+    if epoch is None:
+        epoch = jnp.zeros((), jnp.int32)
+    epoch = jnp.broadcast_to(jnp.asarray(epoch, jnp.int32),
+                             (Xs.shape[0],))
 
     if nn_dist_thresh >= 0:
         D = brief.hamming_matrix(desc, ms.desc)               # (n, M)
@@ -126,6 +135,7 @@ def map_insert(ms: MapState, Xs, desc, valid, cov=None, gid=None,
             Xs=ms.Xs.at[tgt_m].set(x_f),
             cov=ms.cov.at[tgt_m].set(P_f),
             desc=ms.desc.at[tgt_m].set(desc),   # freshest view wins
+            epoch=ms.epoch.at[tgt_m].set(epoch),
             n_merged=ms.n_merged + jnp.sum(merge.astype(jnp.int32)))
         valid = valid & ~merge
 
@@ -136,6 +146,7 @@ def map_insert(ms: MapState, Xs, desc, valid, cov=None, gid=None,
         cov=ms.cov.at[tgt].set(cov),
         desc=ms.desc.at[tgt].set(desc),
         gid=ms.gid.at[tgt].set(gid),
+        epoch=ms.epoch.at[tgt].set(epoch),
         valid=ms.valid.at[tgt].set(True),
         write_ptr=(ms.write_ptr + jnp.sum(valid.astype(jnp.int32))) % M,
         count=ms.count + jnp.sum(valid.astype(jnp.int32)))
@@ -172,13 +183,20 @@ def detect_loop_closures(cfg: VIOConfig, s: VIOState, ms: MapState,
 
     qdesc, qxp, qok, qrow = jax.vmap(per_slot)(jnp.arange(F))
 
+    # age gate: a map entry inserted moments ago restates information
+    # the filter still holds — matching it would double-count. Only
+    # entries at least lc_min_age_frames old are loop-closure targets.
+    mvalid = ms.valid
+    if cfg.lc_min_age_frames > 0:
+        mvalid = mvalid & (ms.epoch
+                           <= s.vision_counter - cfg.lc_min_age_frames)
     if matcher is None:
         D = brief.hamming_matrix(qdesc, ms.desc)      # (F, M)
-        D = jnp.where(ms.valid[None, :], D, 10_000)
+        D = jnp.where(mvalid[None, :], D, 10_000)
         nn = jnp.argmin(D, axis=1)
         nnd = jnp.min(D, axis=1)
     else:
-        nn, nnd = matcher(qdesc, ms.desc, ms.valid)
+        nn, nnd = matcher(qdesc, ms.desc, mvalid)
     match = qok & (nnd < nn_dist_thresh)
     n_match = jnp.sum(match.astype(jnp.int32))
 
@@ -379,4 +397,5 @@ def retire_features(cfg: VIOConfig, s: VIOState, ms: MapState,
     return map_insert(ms, Xs, fr.desc, ok, cov=cov, gid=gid,
                       nn_dist_thresh=(cfg.lc_nn_dist_thresh
                                       if cfg.map_merge_on_retire else -1),
-                      merge_radius=cfg.map_merge_radius)
+                      merge_radius=cfg.map_merge_radius,
+                      epoch=s.vision_counter)
