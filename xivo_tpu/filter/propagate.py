@@ -463,7 +463,8 @@ def propagate_state(cfg: VIOConfig, s: VIOState, dt, is_visual: bool):
     qm = jnp.zeros((m,), dtype)
     qm = qm.at[L.WSB:L.WSB + 3].set(cfg.Qmodel_Wsb ** 2)
     qm = qm.at[L.WBC:L.WBC + 3].set(cfg.Qmodel_Wbc ** 2)
-    qm = qm.at[L.TBC:L.TBC + 3].set(cfg.Qmodel_Tbc ** 2)
+    if cfg.Qmodel_Tbc > 0:    # static guard: keep the default jaxpr
+        qm = qm.at[L.TBC:L.TBC + 3].set(cfg.Qmodel_Tbc ** 2)
     qm = qm.at[L.WSG:L.WSG + 2].set(cfg.Qmodel_Wsg ** 2)
     Pmm = Pmm + jnp.diag(qm)
 
