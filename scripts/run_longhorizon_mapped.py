@@ -32,11 +32,61 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def inject_global_drift(cfg, s, Rk, tk, sigma_T, sigma_W):
+    """Kidnap-style drift injection: transform the WHOLE live window by
+    a global offset g' = (Rk, tk) ∘ g — motion pose/velocity, group
+    poses, their FEJ snapshots and the OC prior chain move together, so
+    the window stays internally consistent and tracking cannot detect
+    the offset (features are group-anchored and invariant). Only a map
+    built BEFORE the kick can. The pose covariance is inflated to match
+    (a real drifted filter carries that uncertainty; the gauge-fixed
+    parameterization cannot grow it on its own), which is exactly what
+    lets the chi-square LC gate separate true closures (innovation ~
+    inflated sigma) from aliased ones (way beyond it).
+    """
+    import jax.numpy as jnp
+    from xivo_tpu.filter import layout as L
+    Rk = jnp.asarray(Rk, s.X.Rsb.dtype)
+    tk = jnp.asarray(tk, s.X.Tsb.dtype)
+    X = s.X._replace(Rsb=Rk @ s.X.Rsb, Tsb=Rk @ s.X.Tsb + tk,
+                     Vsb=Rk @ s.X.Vsb)
+    gr = s.groups
+    act = gr.active[:, None]
+    act3 = gr.active[:, None, None]
+    gr = gr._replace(
+        Rsb=jnp.where(act3, jnp.einsum("ij,gjk->gik", Rk, gr.Rsb), gr.Rsb),
+        Tsb=jnp.where(act, gr.Tsb @ Rk.T + tk, gr.Tsb),
+        Rsb_fej=jnp.where(act3, jnp.einsum("ij,gjk->gik", Rk, gr.Rsb_fej),
+                          gr.Rsb_fej),
+        Tsb_fej=jnp.where(act, gr.Tsb_fej @ Rk.T + tk, gr.Tsb_fej))
+    s = s._replace(X=X, groups=gr,
+                   oc_R=Rk @ s.oc_R, oc_V=Rk @ s.oc_V,
+                   oc_T=Rk @ s.oc_T + tk)
+    P = s.P
+    if P.shape[0] == P.shape[1]:   # full covariance form
+        # COMMON-MODE inflation along the global-transform nullspace
+        # (filter/update.py::oc_nullspace): drift moves the pose and
+        # every group pose together, so the injected uncertainty must
+        # be fully correlated across the window. Tracking rows satisfy
+        # H N ~ 0 (they cannot observe the offset and do not fight the
+        # correction); loop-closure rows are the only ones that collapse
+        # it, and they pull the WHOLE window back through the
+        # correlations. Block-diagonal pose-only inflation instead
+        # yields a 20:1 tug-of-war with the tracking prior (measured:
+        # 7% recovery vs full snap-back).
+        from xivo_tpu.filter.update import oc_nullspace
+        N = np.asarray(oc_nullspace(cfg, s), dtype=np.asarray(P).dtype)
+        scale = np.array([sigma_T ** 2 / 3.0] * 3 + [sigma_W ** 2])
+        P = P + jnp.asarray((N * scale[None, :]) @ N.T)
+    return s._replace(P=P)
+
+
 def run_arm(total_time, use_lc, dtype="float64", seed=0, vis_dt=0.05,
             imu_dt=0.005, rest_time=0.6, refine_every=8.0,
             refine_iters=8, noise_gyro=1.2e-3, noise_accel=1.2e-2,
             map_capacity=4096, motion="tumvi_room", nn_thresh=None,
             render_noise=2.0, exposure_wobble=0.05, markers=False,
+            kick_time=0.0, kick_T=(0.3, -0.25, 0.2), kick_yaw=0.05,
             verbose=False, **overrides):
     """One arm of the study. Returns dict of metrics."""
     from xivo_tpu import cam as cam_mod
@@ -129,6 +179,7 @@ def run_arm(total_time, use_lc, dtype="float64", seed=0, vis_dt=0.05,
     rng = np.random.default_rng(seed)
     IMU_CAP = 16
     errs, times, ests, gts = [], [], [], []
+    kicked = False
     n_lc_total, n_refine = 0, 0
     chi2_drop = []
     pending = []
@@ -155,6 +206,14 @@ def run_arm(total_time, use_lc, dtype="float64", seed=0, vis_dt=0.05,
         fdt = max(next_vis - tp, 0.0)
         t_prev = next_vis
         pending = []
+        if kick_time > 0 and not kicked and next_vis >= kick_time:
+            ky = float(kick_yaw)
+            Rk = np.array([[np.cos(ky), -np.sin(ky), 0],
+                           [np.sin(ky), np.cos(ky), 0], [0, 0, 1.0]])
+            s = inject_global_drift(cfg, s, Rk, np.asarray(kick_T, float),
+                                    sigma_T=float(np.linalg.norm(kick_T)),
+                                    sigma_W=abs(ky))
+            kicked = True
         Rsb, Tsb = imu.gsb(next_vis)
         img = np.asarray(world.render(
             Rsb @ Rbc, Rsb @ Tbc + Tsb,
@@ -185,15 +244,21 @@ def run_arm(total_time, use_lc, dtype="float64", seed=0, vis_dt=0.05,
                   f"lc={n_lc_total} refines={n_refine}", flush=True)
 
     errs = np.asarray(errs)
+    times_a = np.asarray(times)
     half = len(errs) // 2
     from xivo_tpu.eval.metrics import ate_rmse
-    aligned, _, _ = ate_rmse(np.asarray(times), np.asarray(ests),
-                             np.asarray(times), np.asarray(gts))
-    return dict(rmse=float(np.sqrt((errs ** 2).mean())),
-                tail_rmse=float(np.sqrt((errs[half:] ** 2).mean())),
-                final=float(errs[-1]), aligned_ate=float(aligned),
-                n_lc=n_lc_total, n_refine=n_refine,
-                chi2_drop=chi2_drop, map_count=int(bm.count))
+    aligned, _, _ = ate_rmse(times_a, np.asarray(ests),
+                             times_a, np.asarray(gts))
+    out = dict(rmse=float(np.sqrt((errs ** 2).mean())),
+               tail_rmse=float(np.sqrt((errs[half:] ** 2).mean())),
+               final=float(errs[-1]), aligned_ate=float(aligned),
+               n_lc=n_lc_total, n_refine=n_refine,
+               chi2_drop=chi2_drop, map_count=int(bm.count))
+    if kick_time > 0:
+        # recovery metric: drift error AFTER the kick settles (2 s in)
+        post = times_a >= kick_time + 2.0
+        out["post_kick_rmse"] = float(np.sqrt((errs[post] ** 2).mean()))
+    return out
 
 
 def main():
