@@ -179,10 +179,23 @@ def stage_consistency(fib, fresh_states, gt, T, B):
     crun = make_batch_runner(ccfg)
     s, outs = crun(fresh_states(), fib)
     jax.block_until_ready(outs.Tsb)
-    t0 = time.perf_counter()
-    s, outs = crun(fresh_states(), fib)
-    jax.block_until_ready(outs.Tsb)
-    cwall = time.perf_counter() - t0
+    # prebuilt + device-resident inputs (the runner donates argnum 0);
+    # re-measure on implausible walls: one warm run through the relay
+    # measured 0.045 s for a program whose true wall is ~14 s — a
+    # non-blocking completion-signal glitch, not a real timing
+    cwall, tries = 0.0, 0
+    while tries < 3:
+        st = fresh_states()
+        jax.block_until_ready(st.P)
+        t0 = time.perf_counter()
+        s, outs = crun(st, fib)
+        jax.block_until_ready(outs.Tsb)
+        cwall = time.perf_counter() - t0
+        tries += 1
+        # strictly-heavier config cannot beat the base-stage wall
+        if cwall > 0.5 * FIELDS.get("wall_s", 0.0):
+            break
+        FIELDS["consistency_remeasured"] = tries
     cerr = np.linalg.norm(np.asarray(outs.Tsb)[0] - gt["Tsb"], axis=1)
     cate = float(np.sqrt(np.mean(cerr ** 2)))
     FIELDS.update({
@@ -280,8 +293,28 @@ def stage_image():
         raise BenchNumericError("image-mode produced non-finite poses")
 
 
+_TIMES_PATH = os.path.join(_CACHE_DIR, "bench_stage_times.json")
+
+
+def _load_stage_times():
+    try:
+        with open(_TIMES_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_stage_times(d):
+    try:
+        with open(_TIMES_PATH, "w") as f:
+            json.dump(d, f)
+    except OSError:
+        pass
+
+
 def main():
     global _EXIT_CODE
+    hist = _load_stage_times()
     try:
         # --- stage 1: flagship PCW (always runs; its numbers are the
         # headline and print even if later stages die) ---
@@ -290,8 +323,16 @@ def main():
         # compile-cost model for the gate: a cold consistency compile is
         # the largest program (~1.5x the base runner); warm-cache runs
         # measure compile_s ~ seconds and sail through every gate.
+        # When a PREVIOUS run on this machine measured the stage, trust
+        # that (x1.3 margin) over the model — relay compile times vary
+        # ~7x between cold / server-cached, and the model alone
+        # over-skips after a slow-compile pcw stage.
         cons_est = max(1.5 * compile_s, 20.0)
         img_est = max(2.0 * compile_s, 30.0)
+        if "consistency_total_s" in hist:
+            cons_est = min(cons_est, 1.3 * hist["consistency_total_s"])
+        if "img_total_s" in hist:
+            img_est = min(img_est, 1.3 * hist["img_total_s"])
 
         # --- stage 2: consistency stack ---
         if os.environ.get("BENCH_CONSISTENCY", "1") == "0":
@@ -300,7 +341,9 @@ def main():
             FIELDS["consistency_skipped_for_budget"] = round(remaining(), 1)
         else:
             try:
+                tcs = time.time()
                 stage_consistency(fib, fresh_states, gt, T, B)
+                hist["consistency_total_s"] = round(time.time() - tcs, 1)
             except BenchNumericError as e:
                 FIELDS["consistency_numeric_failure"] = str(e)[:200]
                 _EXIT_CODE = 2
@@ -319,7 +362,9 @@ def main():
             FIELDS["img_skipped_for_budget"] = round(remaining(), 1)
         else:
             try:
+                tis = time.time()
                 stage_image()
+                hist["img_total_s"] = round(time.time() - tis, 1)
             except BenchNumericError as e:
                 FIELDS["img_numeric_failure"] = str(e)[:200]
                 _EXIT_CODE = 2
@@ -329,6 +374,7 @@ def main():
         FIELDS["numeric_failure"] = str(e)[:200]
         _EXIT_CODE = 2
     finally:
+        _save_stage_times(hist)
         emit()
     sys.exit(_EXIT_CODE)
 

@@ -239,9 +239,12 @@ def run_arm(total_time, use_lc, dtype="float64", seed=0, vis_dt=0.05,
                 chi2_drop.append(float(c[0] - c[-1]))
             n_refine += 1
             next_refine += refine_every
-        if verbose and len(errs) % 40 == 0:
+        if verbose and (len(errs) % 40 == 0
+                        or (int(n_lc) > 0
+                            and os.environ.get("XIVO_LH_DEBUG"))):
             print(f"  t={next_vis:6.2f} err={errs[-1]:.3f} "
-                  f"lc={n_lc_total} refines={n_refine}", flush=True)
+                  f"lc={n_lc_total} (+{int(n_lc)}) refines={n_refine}",
+                  flush=True)
 
     errs = np.asarray(errs)
     times_a = np.asarray(times)
@@ -276,8 +279,29 @@ def main():
                     help="distinctive marker-patch world (unique "
                          "high-contrast tiles; revisit descriptors "
                          "actually match)")
+    ap.add_argument("-kick_time", type=float, default=0.0,
+                    help="kidnap-style drift injection at this time: "
+                         "the whole live window is offset by kick_T/"
+                         "kick_yaw with common-mode nullspace "
+                         "covariance inflation; only the pre-kick "
+                         "map can correct it")
+    ap.add_argument("-kick_T", type=float, nargs=3,
+                    default=(0.3, -0.25, 0.2))
+    ap.add_argument("-kick_yaw", type=float, default=0.05)
+    ap.add_argument("-set", action="append", default=[],
+                    metavar="KEY=VAL",
+                    help="config override, e.g. -set lc_keyframe_every=8 "
+                         "-set lc_min_age_frames=120 (repeatable)")
     ap.add_argument("-verbose", action="store_true")
     args = ap.parse_args()
+
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        try:
+            overrides[k] = int(v)
+        except ValueError:
+            overrides[k] = float(v)
 
     arms = [True, False] if args.ab else [not args.no_lc]
     res = {}
@@ -288,7 +312,9 @@ def main():
                     motion=args.motion, markers=args.markers,
                     nn_thresh=args.nn_thresh if args.nn_thresh > 0
                     else None,
-                    verbose=args.verbose)
+                    kick_time=args.kick_time,
+                    kick_T=tuple(args.kick_T), kick_yaw=args.kick_yaw,
+                    verbose=args.verbose, **overrides)
         r["wall_s"] = round(time.perf_counter() - t0, 1)
         res["lc" if lc else "no_lc"] = r
         print(f"[{'LC' if lc else 'no-LC'}] rmse={r['rmse']:.3f} "
@@ -301,6 +327,10 @@ def main():
         print(f"LC reduces tail drift: {b['tail_rmse']:.3f} -> "
               f"{a['tail_rmse']:.3f} "
               f"({100 * (1 - a['tail_rmse'] / max(b['tail_rmse'], 1e-9)):.0f}%)")
+        if "post_kick_rmse" in a:
+            print(f"LC post-kick recovery: {b['post_kick_rmse']:.3f} -> "
+                  f"{a['post_kick_rmse']:.3f} "
+                  f"({100 * (1 - a['post_kick_rmse'] / max(b['post_kick_rmse'], 1e-9)):.0f}%)")
 
 
 if __name__ == "__main__":

@@ -238,6 +238,17 @@ class VIOConfig:
     # a just-inserted entry restates information the filter still
     # carries, and closing against it double-counts. 0 = off.
     lc_min_age_frames: int = 0
+    # carry anchor-pose Jacobian blocks on LC rows when the matched
+    # landmark's anchor group is still instate (ComputeLCJacobian's
+    # matched-group derivative, src/oos.cpp:92-145). Off by default:
+    # the map stores WORLD-frame landmarks, so the predicted
+    # measurement is computed from fixed world coordinates and does
+    # not actually move with the live anchor pose — carrying the
+    # anchor block without re-expressing the landmark in the live
+    # anchor claims a dependence the innovation does not have, and
+    # every closure with a live anchor injects a spurious anchor-pose
+    # correction (A/B in scripts/run_longhorizon_mapped.py)
+    lc_anchor_rows: bool = False
 
     # out-of-order message buffering (src/estimator.h:556-561,
     # MESSAGE_BUFFER_SIZE default 10; drained in src/estimator.cpp:

@@ -292,7 +292,8 @@ def close_loop(cfg: VIOConfig, s: VIOState, ms: MapState,
         Rg = gr.Rsb[arowc[slot]]
         Tg = gr.Tsb[arowc[slot]]
         Xb_a = Rg.T @ (Xs_old - Tg)
-        aw = (alive[slot] & use).astype(dtype)
+        aw = (alive[slot] & use).astype(dtype) \
+            if cfg.lc_anchor_rows else jnp.zeros((), dtype)
         HW_a = Hxs @ (-Rg @ so3.hat(Xb_a)) * aw
         HT_a = Hxs * aw
         Hg = jnp.concatenate([HW_a, HT_a], axis=1)            # (2,6)
