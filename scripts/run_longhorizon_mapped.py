@@ -87,6 +87,7 @@ def run_arm(total_time, use_lc, dtype="float64", seed=0, vis_dt=0.05,
             map_capacity=4096, motion="tumvi_room", nn_thresh=None,
             render_noise=2.0, exposure_wobble=0.05, markers=False,
             kick_time=0.0, kick_T=(0.3, -0.25, 0.2), kick_yaw=0.05,
+            save_state_at=0.0, state_path=None,
             verbose=False, **overrides):
     """One arm of the study. Returns dict of metrics."""
     from xivo_tpu import cam as cam_mod
@@ -225,6 +226,19 @@ def run_arm(total_time, use_lc, dtype="float64", seed=0, vis_dt=0.05,
             jnp.asarray(np.dtype(cfg.dtype).type(fdt)),
             jnp.asarray(img, np.float32))
         n_lc_total += int(n_lc)
+        if state_path and save_state_at > 0 and next_vis >= save_state_at:
+            # debug checkpoint: everything needed to replay single
+            # frames from here (state, frontend, map, clock)
+            import pickle
+            with open(state_path, "wb") as f:
+                pickle.dump(dict(
+                    s=jax.tree.map(np.asarray, s),
+                    fes=jax.tree.map(np.asarray, fes),
+                    bm=jax.tree.map(np.asarray, bm),
+                    t=next_vis, cfg_overrides=overrides), f)
+            print(f"saved state at t={next_vis:.2f} -> {state_path}",
+                  flush=True)
+            save_state_at = 0.0
         Te = np.asarray(out.Tsb)
         errs.append(float(np.linalg.norm(Te - Tsb)))
         times.append(next_vis)

@@ -82,8 +82,27 @@ def _build_normal_eq(p: BAProblem, huber_thresh: float):
     return r, Jp, Jx, use, chi2
 
 
-def ba_iteration(p: BAProblem, damping: float, huber_thresh: float):
-    """One LM iteration. Returns (new problem, chi2_before)."""
+def chi2_only(p: BAProblem, huber_thresh: float) -> jnp.ndarray:
+    """Total chi2 at p — residual-only sweep (no Jacobians), used by the
+    LM accept/reject test. Matches _build_normal_eq's chi2 definition
+    (raw squared norm of used residuals, not Huber-weighted)."""
+    def per_pair(l, k):
+        Xc = p.Rs[k].T @ (p.Xs[l] - p.Ts[k])
+        z = Xc[2]
+        front = z > 1e-6
+        xn = Xc[:2] / jnp.where(front, z, 1.0)
+        r = xn - p.obs[l, k]
+        use = p.mask[l, k] & front
+        nrm = jnp.linalg.norm(r) + 1e-12
+        return (nrm ** 2) * use
+    Lm, K = p.mask.shape
+    f = jax.vmap(jax.vmap(per_pair, in_axes=(None, 0)), in_axes=(0, None))
+    return jnp.sum(f(jnp.arange(Lm), jnp.arange(K)))
+
+
+def ba_iteration(p: BAProblem, damping, huber_thresh: float):
+    """One damped GN step at fixed lambda. Returns (stepped problem,
+    chi2 at the INPUT p). `damping` may be a traced scalar."""
     Lm, K = p.mask.shape
     dtype = p.Xs.dtype
     r, Jp, Jx, use, chi2 = _build_normal_eq(p, huber_thresh)
@@ -134,13 +153,32 @@ def ba_iteration(p: BAProblem, damping: float, huber_thresh: float):
 
 def solve(p: BAProblem, iters: int = 10, damping: float = 1e-4,
           huber_thresh: float = 1e9) -> Tuple[BAProblem, jnp.ndarray]:
-    """Run LM iterations; returns (problem, chi2 history (iters,)).
+    """Adaptive Levenberg-Marquardt; returns (problem, chi2 history
+    (iters,), the chi2 at each iteration's INPUT point).
 
-    Mirrors Optimizer::Solve (src/optimizer.cpp:140-162) — fixed
-    iteration budget, mean chi2 reporting is the caller's division.
+    Mirrors Optimizer::Solve (src/optimizer.cpp:140-162) in its fixed
+    iteration budget, but with real LM lambda control: each step is
+    ACCEPTED only if it reduces total chi2 (lambda /= 2), otherwise the
+    parameters are kept and lambda *= 10. A fixed-damping GN loop
+    diverged in-stream on keyframe-dense maps (measured: chi2 +5e5 on
+    one refine_map call, which corrupted the map and through loop
+    closure the filter — scripts/run_longhorizon_mapped.py); with
+    rejection the history is monotone non-increasing by construction.
     """
-    def body(p, _):
-        p, chi2 = ba_iteration(p, damping, huber_thresh)
-        return p, chi2
+    dtype = p.Xs.dtype
+    lam0 = jnp.asarray(damping, dtype)
 
-    return jax.lax.scan(body, p, None, length=iters)
+    def body(carry, _):
+        p, lam = carry
+        p_try, chi2_cur = ba_iteration(p, lam, huber_thresh)
+        chi2_try = chi2_only(p_try, huber_thresh)
+        accept = chi2_try < chi2_cur
+        p_next = jax.tree.map(
+            lambda new, old: jnp.where(accept, new, old), p_try, p)
+        lam_next = jnp.where(accept,
+                             jnp.maximum(lam * 0.5, 1e-9),
+                             jnp.minimum(lam * 10.0, 1e6))
+        return (p_next, lam_next.astype(dtype)), chi2_cur
+
+    (p, _), hist = jax.lax.scan(body, (p, lam0), None, length=iters)
+    return p, hist

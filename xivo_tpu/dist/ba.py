@@ -77,12 +77,12 @@ def make_distributed_solver(mesh: Mesh, iters: int = 10,
     dim divisible by the mesh size; poses are replicated.
     """
 
-    def local_iter(p: BAProblem):
+    def local_iter(p: BAProblem, lam):
         K = p.mask.shape[1]
         dtype = p.Xs.dtype
         U, S_red, b, chi2, (W, Vinv, bl) = _local_reduction(
-            p, damping, huber_thresh, axis)
-        dp = _assemble_and_solve(p.fixed, U, S_red, b, damping, K, dtype)
+            p, lam, huber_thresh, axis)
+        dp = _assemble_and_solve(p.fixed, U, S_red, b, lam, K, dtype)
         Wtdp = jnp.einsum("lkij,ki->lj", W, dp)
         dl = jnp.einsum("lij,lj->li", Vinv, bl - Wtdp)
         Rs = jax.vmap(lambda R, w: so3.project(R @ so3.exp(w)))(
@@ -92,10 +92,31 @@ def make_distributed_solver(mesh: Mesh, iters: int = 10,
         Xs = p.Xs + dl * seen[:, None].astype(dtype)
         return p._replace(Rs=Rs, Ts=Ts, Xs=Xs), chi2
 
+    def _local_chi2(p: BAProblem):
+        from ..ba.core import chi2_only
+        return jax.lax.psum(chi2_only(p, huber_thresh), axis)
+
     def local_solve(p: BAProblem):
-        def body(p, _):
-            return local_iter(p)
-        return jax.lax.scan(body, p, None, length=iters)
+        # adaptive LM accept/reject, mirroring ba.core.solve — the
+        # accept decision uses the PSUM'd chi2, so it is identical on
+        # every device and the N=1-vs-N equivalence contract holds
+        dtype = p.Xs.dtype
+        lam0 = jnp.asarray(damping, dtype)
+
+        def body(carry, _):
+            p, lam = carry
+            p_try, chi2_cur = local_iter(p, lam)
+            chi2_try = _local_chi2(p_try)
+            accept = chi2_try < chi2_cur
+            p_next = jax.tree.map(
+                lambda new, old: jnp.where(accept, new, old), p_try, p)
+            lam_next = jnp.where(accept,
+                                 jnp.maximum(lam * 0.5, 1e-9),
+                                 jnp.minimum(lam * 10.0, 1e6))
+            return (p_next, lam_next.astype(dtype)), chi2_cur
+
+        (p, _), hist = jax.lax.scan(body, (p, lam0), None, length=iters)
+        return p, hist
 
     shard_specs = BAProblem(Rs=P(), Ts=P(), Xs=P(axis), obs=P(axis),
                             mask=P(axis), fixed=P())
