@@ -80,3 +80,49 @@ def test_gated_lc_preserves_accuracy(arms):
 def test_refine_map_runs_in_stream(arms):
     _, _, gated = arms
     assert gated["n_refine"] >= 1
+
+
+# ---------------------------------------------------------------------
+# Loop closure PAYS (round-3 verdict #3): kidnap-style drift injection.
+#
+# A free-running arm cannot demonstrate a net LC win at feasible sim
+# horizons (white-noise IMU + bias estimation keep drift at the noise
+# floor, and the chi-square gate correctly keeps only agree-with-state
+# closures). The kidnap protocol makes the map's value measurable: the
+# ENTIRE live window (pose, velocity, groups, FEJ, OC chain) is offset
+# by a global transform mid-run — internally consistent, invisible to
+# tracking (features are group-anchored), correctable ONLY by the
+# pre-kick map — with the covariance inflated along the global-
+# transform nullspace (common-mode across the window). The no-LC arm
+# must carry the offset forever; the mapped arm snaps back within a
+# frame (measured: |dT| 0.369 -> 0.106 one frame after the kick).
+
+KIDNAP = dict(total_time=26.0, motion="loop", markers=True,
+              kick_time=16.0, dtype="float64",
+              lc_keyframe_every=8, lc_min_age_frames=120)
+
+
+@pytest.fixture(scope="module")
+def kidnap_arms():
+    lc = _run_arm(use_lc=True, **KIDNAP)
+    base = _run_arm(use_lc=False, **KIDNAP)
+    return lc, base
+
+
+def test_kidnap_unmapped_cannot_recover(kidnap_arms):
+    lc, base = kidnap_arms
+    # kick |T| = 0.44 m: tracking alone holds the offset indefinitely
+    assert base["post_kick_rmse"] > 0.25, base
+
+
+def test_kidnap_recovery_with_map(kidnap_arms):
+    """ATE(mapped) < ATE(unmapped): the map measurably removes drift
+    the filter cannot observe — Mapper's purpose
+    (src/mapper.cpp:335-418)."""
+    lc, base = kidnap_arms
+    assert lc["n_lc"] > 50, lc
+    # measured (32 s study): lc 0.181 vs base 0.409 (-56%); 0.65 gives
+    # seed margin while still pinning a >1.5x improvement
+    assert lc["post_kick_rmse"] < 0.65 * base["post_kick_rmse"], \
+        (lc, base)
+    assert lc["aligned_ate"] < base["aligned_ate"], (lc, base)
