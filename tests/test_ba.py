@@ -96,3 +96,16 @@ def test_ba_huber_downweights_outliers():
     # solve finite and accurate
     assert np.isfinite(err_hub) and err_hub < 0.2
     assert (not np.isfinite(err_no)) or err_hub < err_no
+
+
+def test_lm_monotone_under_large_perturbation():
+    """Adaptive LM accept/reject (round-4 fix): a fixed-damping GN loop
+    diverged in-stream on a keyframe-dense map (chi2 +5e5 on one
+    refine_map call, ARCHITECTURE.md round-4). With step rejection the
+    chi2 history is monotone non-increasing even from a grossly
+    perturbed init at near-zero initial damping."""
+    p, _ = make_problem(perturb=0.4, seed=3)
+    _, hist = solve(p, iters=12, damping=1e-9)
+    h = np.asarray(hist)
+    assert np.all(np.diff(h) <= 1e-9 * np.maximum(h[:-1], 1.0)), h
+    assert h[-1] < h[0]
