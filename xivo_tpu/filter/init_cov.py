@@ -186,10 +186,32 @@ def add_init_correlations(cfg: VIOConfig, s: VIOState, new_slot_mask,
         # a near-singular N means the observations barely determine x —
         # the batch-LS correlation model is meaningless there; skip.
         # (J = 0 keeps the congruence, so PSD is unaffected either way.)
-        wellposed = jnp.linalg.eigvalsh(N)[0] > 1e-4 * tr
+        # lambda_min(N) > thr tested via Sylvester's criterion on
+        # N - thr I (exactly equivalent for symmetric N, closed form):
+        # the vmapped 3x3 eigvalsh here was an ITERATIVE XLA eigensolver
+        # instantiated F x B times per frame — measured as a major part
+        # of this function's 3.3x frame-cost hit (ARCHITECTURE.md
+        # round-5 roadmap)
+        thr = 1e-4 * tr
+        Mm = N - thr * jnp.eye(3, dtype=dtype)
+        det2 = Mm[0, 0] * Mm[1, 1] - Mm[0, 1] * Mm[1, 0]
+        det3 = (Mm[0, 0] * (Mm[1, 1] * Mm[2, 2] - Mm[1, 2] * Mm[2, 1])
+                - Mm[0, 1] * (Mm[1, 0] * Mm[2, 2] - Mm[1, 2] * Mm[2, 0])
+                + Mm[0, 2] * (Mm[1, 0] * Mm[2, 1] - Mm[1, 1] * Mm[2, 0]))
+        wellposed = (Mm[0, 0] > 0) & (det2 > 0) & (det3 > 0)
         use = use & wellposed
-        A = jnp.linalg.inv(N + (1e-6 * tr + jnp.asarray(1e-12, dtype))
-                           * jnp.eye(3, dtype=dtype))
+        # closed-form 3x3 inverse (adjugate/det) — no LU under vmap
+        Nr = N + (1e-6 * tr + jnp.asarray(1e-12, dtype)) \
+            * jnp.eye(3, dtype=dtype)
+        a, b, c = Nr[0, 0], Nr[0, 1], Nr[0, 2]
+        d_, e, f = Nr[1, 0], Nr[1, 1], Nr[1, 2]
+        g, h, i = Nr[2, 0], Nr[2, 1], Nr[2, 2]
+        co = jnp.array([[e * i - f * h, c * h - b * i, b * f - c * e],
+                        [f * g - d_ * i, a * i - c * g, c * d_ - a * f],
+                        [d_ * h - e * g, b * g - a * h, a * e - b * d_]],
+                       dtype)
+        det = a * co[0, 0] + b * co[1, 0] + c * co[2, 0]
+        A = co / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
         J = -(A @ M)                                       # (3, K)
         return jnp.where(use, J, jnp.zeros_like(J))
 
