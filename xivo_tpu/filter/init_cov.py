@@ -99,66 +99,93 @@ def obs_jacobian(kind: int, intrin, Rbc, Tbc, Rsbr, Tsbr, Rg, Tg, x,
     return Hx, Hc, Hg, Hr, dxp_dintrin, good
 
 
-def _obs_blocks(cfg: VIOConfig, s: VIOState, row):
-    """Normal-equation blocks for one feature row.
+def _obs_blocks_batched(cfg: VIOConfig, s: VIOState, rows):
+    """Normal-equation blocks for ALL feature rows at once.
 
-    Returns (N, M): N = sum Hx^T W Hx (3,3) and M = sum Hx^T W Ho
-    (3, K) with K = 6 + NCAM + 6*n_groups, o-layout
+    Returns (N (F,3,3), M (F,3,K)): N_f = sum Hx^T W Hx and
+    M_f = sum Hx^T W Ho with K = 6 + NCAM + 6*n_groups, o-layout
     [Wbc Tbc | cam | group slot 0 .. slot G-1].
+
+    Gather-free: all row/group selections are one-hot matmuls
+    (``ops.dense.oh_take``). This function runs EVERY frame — the
+    admission cond is a select under vmap — and its earlier per-slot
+    form carried ~8 traced-index gathers through an F x G sweep, the
+    exact pattern the frame-path scatter purge exists to avoid
+    (ARCHITECTURE.md).
     """
+    from ..ops.dense import oh_take
     d = cfg.dims
     G = d.n_groups
     dtype = s.P.dtype
     kind = cam_mod.MODEL_IDS[cfg.cam_model]
     fr, gr = s.features, s.groups
+    NFR = fr.fid.shape[0]
     NG = gr.gid.shape[0]
 
-    rowc = jnp.maximum(row, 0)
-    x = fr.x[rowc]
-    gref = jnp.clip(fr.ref[rowc], 0, NG - 1)
-    ref_slot = gr.sind[gref]
-    ref_ok = (fr.ref[rowc] >= 0) & (ref_slot >= 0)
+    rowc = jnp.maximum(rows, 0)
+    x_s = oh_take(fr.x, rowc, NFR)                         # (F,3)
+    gref_raw = oh_take(fr.ref, rowc, NFR)                  # (F,)
+    gref = jnp.clip(gref_raw, 0, NG - 1)
+    ref_slot = oh_take(gr.sind, gref, NG)                  # (F,)
+    ref_ok = (gref_raw >= 0) & (ref_slot >= 0)
     sref = jnp.clip(ref_slot, 0, G - 1)
-    Rsbr, Tsbr = gr.Rsb[gref], gr.Tsb[gref]
+    Rsbr = oh_take(gr.Rsb, gref, NG)                       # (F,3,3)
+    Tsbr = oh_take(gr.Tsb, gref, NG)
+    adjrow = oh_take(fr.adj, rowc, NFR)                    # (F,NG)
+
+    grow = s.g2row                                         # (G,)
+    growc = jnp.maximum(grow, 0)
+    Rg = oh_take(gr.Rsb, growc, NG)                        # (G,3,3)
+    Tg = oh_take(gr.Tsb, growc, NG)
+    ohg = growc[:, None] == jnp.arange(NG)[None, :]        # (G,NG)
+    seen = jnp.any(adjrow[:, None, :] & ohg[None, :, :], axis=-1)
+    seen = seen & (grow >= 0)[None, :] & ref_ok[:, None] \
+        & (growc[None, :] != gref[:, None])                # (F,G)
+
     Rbc, Tbc = s.X.Rbc, s.X.Tbc
+    jac_g = jax.vmap(obs_jacobian, in_axes=(
+        None, None, None, None, None, None, 0, 0, None, None))
+    jac_fg = jax.vmap(jac_g, in_axes=(
+        None, None, None, None, 0, 0, None, None, 0, None))
+    Hx, Hc, Hg, Hr, dint, cheir = jac_fg(
+        kind, s.cam, Rbc, Tbc, Rsbr, Tsbr, Rg, Tg, x_s, dtype)
+    # shapes: Hx (F,G,2,3), Hc/Hg/Hr (F,G,2,6), dint (F,G,2,NCAM)
 
-    Xc, dXc_dx = unproject_logz(x)
+    w = (seen & cheir).astype(dtype)[:, :, None, None]
+    Hxw = Hx * w
+    # group-pose placement: observing slot j gets Hg, the reference
+    # slot sref[f] gets Hr — one-hot outer products, no scatters
+    eyeG = jnp.eye(G, dtype=dtype)
+    ohr = (sref[:, None] == jnp.arange(G)[None, :]).astype(dtype)
+    gblk = (eyeG[None, :, :, None, None] * Hg[:, :, None]
+            + ohr[:, None, :, None, None] * Hr[:, :, None])  # (F,G,G,2,6)
+    gblk = gblk.transpose(0, 1, 3, 2, 4).reshape(
+        gblk.shape[0], G, 2, 6 * G)
+    Hcam = dint if cfg.online_camera_calib else jnp.zeros_like(dint)
+    Ho = jnp.concatenate([Hc, Hcam, gblk], axis=-1) * w    # (F,G,2,K)
+
     W = 1.0 / cfg.subfilter.Rtri
-
-    def per_slot(j):
-        grow = s.g2row[j]
-        ok = (grow >= 0) & ref_ok
-        growc = jnp.maximum(grow, 0)
-        seen = fr.adj[rowc, growc] & ok & (growc != gref)
-        Rg, Tg = gr.Rsb[growc], gr.Tsb[growc]
-        Hx, Hc, Hg, Hr, dxp_dintrin, cheirality = obs_jacobian(
-            kind, s.cam, Rbc, Tbc, Rsbr, Tsbr, Rg, Tg, x, dtype)
-        w = (seen & cheirality).astype(dtype)
-        gblk = jnp.zeros((G, 2, 6), dtype)
-        gblk = gblk.at[j].set(Hg)
-        gblk = gblk.at[sref].add(Hr)
-        Hcam = dxp_dintrin if cfg.online_camera_calib \
-            else jnp.zeros_like(dxp_dintrin)
-        Ho = jnp.concatenate(
-            [Hc, Hcam, gblk.transpose(1, 0, 2).reshape(2, 6 * G)], axis=1)
-        return Hx * w, Ho * w
-
-    Hx, Ho = jax.vmap(per_slot)(jnp.arange(G))
-    N = W * jnp.einsum("gri,grj->ij", Hx, Hx)
-    M = W * jnp.einsum("gri,grj->ij", Hx, Ho)
+    N = W * jnp.einsum("fgri,fgrj->fij", Hxw, Hxw)
+    M = W * jnp.einsum("fgri,fgrj->fij", Hxw, Ho)
 
     # the anchor observation itself: reprojection into the ref frame is
     # pose-independent (exactly), pins the (X/Z, Y/Z) components, and
     # couples only to the intrinsics — this is what keeps N well-posed
     # at admission time (the subfilter admits on >=2 observations)
-    xcn_r, dxcn_dXc = project_persp(Xc)
-    _, dxp_dxcn_r, dxp_dint_r = cam_mod.project_with_jac(kind, s.cam, xcn_r)
-    Hx_r = (dxp_dxcn_r @ dxcn_dXc @ dXc_dx) * ref_ok.astype(dtype)
-    N = N + W * Hx_r.T @ Hx_r
+    def anchor(x, ok):
+        Xc, dXc_dx = unproject_logz(x)
+        xcn_r, dxcn_dXc = project_persp(Xc)
+        _, dxp_dxcn_r, dxp_dint_r = cam_mod.project_with_jac(
+            kind, s.cam, xcn_r)
+        return (dxp_dxcn_r @ dxcn_dXc @ dXc_dx) * ok, dxp_dint_r
+
+    Hx_r, dint_r = jax.vmap(anchor)(x_s, ref_ok.astype(dtype))
+    N = N + W * jnp.einsum("fri,frj->fij", Hx_r, Hx_r)
     if cfg.online_camera_calib:
-        Ho_r = jnp.zeros((2, 6 + L.NCAM + 6 * G), dtype)
-        Ho_r = Ho_r.at[:, 6:6 + L.NCAM].set(dxp_dint_r)
-        M = M + W * Hx_r.T @ Ho_r
+        Ho_r = jnp.zeros(dint_r.shape[:1] + (2, 6 + L.NCAM + 6 * G),
+                         dtype)
+        Ho_r = Ho_r.at[:, :, 6:6 + L.NCAM].set(dint_r)
+        M = M + W * jnp.einsum("fri,frj->fij", Hx_r, Ho_r)
     return N, M
 
 
@@ -178,44 +205,41 @@ def add_init_correlations(cfg: VIOConfig, s: VIOState, new_slot_mask,
         np.arange(L.GROUP_BEGIN, L.GROUP_BEGIN + 6 * G)]))
     P_o = s.P[oidx]            # (K, D) — rows of the o-block vs everything
 
-    def per_slot(slot):
-        row = row_of_slot[slot]
-        use = new_slot_mask[slot] & (row >= 0)
-        N, M = _obs_blocks(cfg, s, row)
-        tr = jnp.trace(N) / 3.0
-        # a near-singular N means the observations barely determine x —
-        # the batch-LS correlation model is meaningless there; skip.
-        # (J = 0 keeps the congruence, so PSD is unaffected either way.)
-        # lambda_min(N) > thr tested via Sylvester's criterion on
-        # N - thr I (exactly equivalent for symmetric N, closed form):
-        # the vmapped 3x3 eigvalsh here was an ITERATIVE XLA eigensolver
-        # instantiated F x B times per frame — measured as a major part
-        # of this function's 3.3x frame-cost hit (ARCHITECTURE.md
-        # round-5 roadmap)
-        thr = 1e-4 * tr
-        Mm = N - thr * jnp.eye(3, dtype=dtype)
-        det2 = Mm[0, 0] * Mm[1, 1] - Mm[0, 1] * Mm[1, 0]
-        det3 = (Mm[0, 0] * (Mm[1, 1] * Mm[2, 2] - Mm[1, 2] * Mm[2, 1])
-                - Mm[0, 1] * (Mm[1, 0] * Mm[2, 2] - Mm[1, 2] * Mm[2, 0])
-                + Mm[0, 2] * (Mm[1, 0] * Mm[2, 1] - Mm[1, 1] * Mm[2, 0]))
-        wellposed = (Mm[0, 0] > 0) & (det2 > 0) & (det3 > 0)
-        use = use & wellposed
-        # closed-form 3x3 inverse (adjugate/det) — no LU under vmap
-        Nr = N + (1e-6 * tr + jnp.asarray(1e-12, dtype)) \
-            * jnp.eye(3, dtype=dtype)
-        a, b, c = Nr[0, 0], Nr[0, 1], Nr[0, 2]
-        d_, e, f = Nr[1, 0], Nr[1, 1], Nr[1, 2]
-        g, h, i = Nr[2, 0], Nr[2, 1], Nr[2, 2]
-        co = jnp.array([[e * i - f * h, c * h - b * i, b * f - c * e],
-                        [f * g - d_ * i, a * i - c * g, c * d_ - a * f],
-                        [d_ * h - e * g, b * g - a * h, a * e - b * d_]],
-                       dtype)
-        det = a * co[0, 0] + b * co[1, 0] + c * co[2, 0]
-        A = co / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
-        J = -(A @ M)                                       # (3, K)
-        return jnp.where(use, J, jnp.zeros_like(J))
-
-    Jf = jax.vmap(per_slot)(jnp.arange(F))                  # (F, 3, K)
+    N, M = _obs_blocks_batched(cfg, s, row_of_slot)        # (F,3,3),(F,3,K)
+    use = new_slot_mask & (row_of_slot >= 0)
+    tr = (N[:, 0, 0] + N[:, 1, 1] + N[:, 2, 2]) / 3.0      # (F,)
+    # a near-singular N means the observations barely determine x —
+    # the batch-LS correlation model is meaningless there; skip.
+    # (J = 0 keeps the congruence, so PSD is unaffected either way.)
+    # lambda_min(N) > thr tested via Sylvester's criterion on N - thr I
+    # (exactly equivalent for symmetric N, closed form): the vmapped
+    # 3x3 eigvalsh here was an ITERATIVE XLA eigensolver instantiated
+    # F x B times per frame — measured at ~24% of the whole frame wall
+    # with this feature on (ARCHITECTURE.md round-4/5)
+    eye3 = jnp.eye(3, dtype=dtype)
+    Mm = N - (1e-4 * tr)[:, None, None] * eye3[None]
+    det2 = Mm[:, 0, 0] * Mm[:, 1, 1] - Mm[:, 0, 1] * Mm[:, 1, 0]
+    det3 = (Mm[:, 0, 0] * (Mm[:, 1, 1] * Mm[:, 2, 2]
+                           - Mm[:, 1, 2] * Mm[:, 2, 1])
+            - Mm[:, 0, 1] * (Mm[:, 1, 0] * Mm[:, 2, 2]
+                             - Mm[:, 1, 2] * Mm[:, 2, 0])
+            + Mm[:, 0, 2] * (Mm[:, 1, 0] * Mm[:, 2, 1]
+                             - Mm[:, 1, 1] * Mm[:, 2, 0]))
+    use = use & (Mm[:, 0, 0] > 0) & (det2 > 0) & (det3 > 0)
+    # closed-form batched 3x3 inverse (adjugate/det) — no LU under vmap
+    Nr = N + (1e-6 * tr + 1e-12)[:, None, None] * eye3[None]
+    a, b, c = Nr[:, 0, 0], Nr[:, 0, 1], Nr[:, 0, 2]
+    d_, e, f = Nr[:, 1, 0], Nr[:, 1, 1], Nr[:, 1, 2]
+    g, h, i = Nr[:, 2, 0], Nr[:, 2, 1], Nr[:, 2, 2]
+    co = jnp.stack([
+        jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], -1),
+        jnp.stack([f * g - d_ * i, a * i - c * g, c * d_ - a * f], -1),
+        jnp.stack([d_ * h - e * g, b * g - a * h, a * e - b * d_], -1)],
+        axis=-2)
+    det = a * co[:, 0, 0] + b * co[:, 1, 0] + c * co[:, 2, 0]
+    A = co / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)[:, None, None]
+    J = -jnp.einsum("fij,fjk->fik", A, M)                  # (F,3,K)
+    Jf = jnp.where(use[:, None, None], J, jnp.zeros_like(J))
     if cfg.covariance_form == "sqrt":
         # on the factor the congruence [[I],[J.]] is a plain ROW
         # transform: new rows += J @ S[o-rows]. Cross terms to every
