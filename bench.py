@@ -93,7 +93,7 @@ def stage_pcw():
     from xivo_tpu.filter.config import config_from_json
     from xivo_tpu.runner import batch_states, make_batch_runner
     from xivo_tpu.sim.stream import build_pcw_stream
-    from tests.test_e2e_pcw import PCW_CFG
+    from xivo_tpu.sim.configs import PCW_CFG
 
     # measured batch sweep on v5e (frames/s/chip), post gather-purge:
     # 128 -> 10940, 256 -> 11493, 512 -> 11470 — saturates ~256
@@ -168,7 +168,7 @@ def stage_consistency(fib, fresh_states, gt, T, B):
     bench fact, not a guess (round-2 verdict #4)."""
     from xivo_tpu.filter.config import config_from_json
     from xivo_tpu.runner import make_batch_runner
-    from tests.test_e2e_pcw import PCW_CFG
+    from xivo_tpu.sim.configs import PCW_CFG
 
     ccfg = config_from_json(
         PCW_CFG, dtype="float32", sim_initialize_depths=True,

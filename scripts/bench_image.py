@@ -25,7 +25,7 @@ from xivo_tpu.frontend import init_frontend, vio_frame_image
 from xivo_tpu.geom import so3
 from xivo_tpu.sim import get_imu_sim
 from xivo_tpu.sim.render import render_dots
-from tests.test_image_vio import IMG_CFG, make_world
+from xivo_tpu.sim.configs import IMG_CFG, make_world
 
 
 def build_frames():

@@ -14,33 +14,9 @@ from xivo_tpu.frontend import init_frontend, vio_frame_image, \
     tracker_only_frame
 from xivo_tpu.sim import get_imu_sim
 from xivo_tpu.sim.render import render_dots
-from tests.test_e2e_pcw import PCW_CFG
+from xivo_tpu.sim.configs import IMG_CFG, make_world  # noqa: F401
 
 pytestmark = pytest.mark.slow  # heavy tier: XIVO_SLOW=1 runs these
-
-IMG_CFG = dict(PCW_CFG)
-IMG_CFG["tracker_cfg"] = {
-    "tracker_type": "LK", "detector": "FAST",
-    "num_features_min": 40, "num_features_max": 60,
-    "max_pixel_displacement": 64, "mask_size": 15, "margin": 8,
-    "use_prediction": False, "extract_descriptor": True,
-    "KLT": {"win_size": 15, "max_level": 3, "max_iter": 30, "eps": 0.01},
-    "FAST": {"threshold": 15.0},
-}
-IMG_CFG["camera_cfg"] = {"model": "pinhole", "rows": 240, "cols": 320,
-                         "fx": 200, "fy": 200, "cx": 160, "cy": 120}
-IMG_CFG["initial_z"] = 8.0
-IMG_CFG["max_depth"] = 40.0
-# parallax-gated admission (see VIOConfig.max_depth_var_for_admission):
-# depths here bootstrap from a rough prior, so features wait until the
-# subfilter has actually observed their depth
-IMG_CFG["max_depth_var_for_admission"] = 0.01
-
-
-def make_world(n=500, seed=0):
-    rng = np.random.default_rng(seed)
-    return np.stack([rng.uniform(-12, 12, n), rng.uniform(4, 25, n),
-                     rng.uniform(-8, 8, n)], axis=1)
 
 
 @pytest.fixture(scope="module")

@@ -221,3 +221,36 @@ def test_e2e_sqrt_with_options():
     err = np.linalg.norm(np.asarray(outs.Tsb) - gt["Tsb"], axis=1)
     rmse = float(np.sqrt(np.mean(err ** 2)))
     assert np.isfinite(rmse) and rmse < 0.15, rmse
+
+
+def test_sqrt_update_wide_stack_chunked_matches_joint():
+    """Stacks past the fused-kernel wall (m > 128) run as sequential
+    block downdates (sqrt_form.sqrt_update); with diagonal R that is
+    algebraically EXACT — pin equality with the joint dense update at
+    the OOS stack width (m ~ 216, cf. oos.py)."""
+    D, C, m = 50, 10, 216
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    S = _rand_factor(k1, D, C, zero_rows=(5,))
+    P = cov_full(S)
+    H = jax.random.normal(k2, (m, D), jnp.float64) * 0.5
+    H = H.at[:, 5].set(0.0)
+    inn = jax.random.normal(k3, (m,), jnp.float64)
+    diagR = jnp.full((m,), 1.7, jnp.float64)
+    rv = jax.random.bernoulli(k4, 0.8, (m,))
+
+    Hm = H * rv[:, None]
+    innm = inn * rv
+    Rm = jnp.where(rv, diagR, 1.0)
+    HP = Hm @ P
+    Sm = HP @ Hm.T + jnp.diag(Rm)
+    K = jnp.linalg.solve(Sm, HP).T
+    err_ref = K @ innm
+    P_ref = P - K @ HP
+
+    err_s, S_s = sqrt_update(S, H, inn, diagR, rv)
+    np.testing.assert_allclose(np.asarray(err_s), np.asarray(err_ref),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cov_full(S_s)), np.asarray(P_ref),
+                               rtol=1e-7, atol=1e-9)
+    assert np.abs(np.asarray(S_s[5])).max() == 0.0

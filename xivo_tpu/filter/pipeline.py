@@ -154,7 +154,8 @@ def _remove_groups_from_state(cfg: VIOConfig, s: VIOState, grow_mask):
     P = zero_state_entries(
         s.P, _group_keep_vector(cfg, slot_mask, s.P.dtype) > 0)
     g2row = jnp.where(slot_mask, -1, s.g2row)
-    gr = gr._replace(sind=jnp.where(hit, -1, gr.sind))
+    gr = gr._replace(sind=jnp.where(hit, -1, gr.sind),
+                     is_clone=gr.is_clone & ~hit)
     # losing the gauge group resets the gauge (src/estimator.cpp:1320-1324)
     lost_gauge = jnp.any(hit & (jnp.arange(gr.gid.shape[0]) == s.gauge_row))
     gauge_row = jnp.where(lost_gauge, -1, s.gauge_row)
@@ -487,7 +488,16 @@ def _admit_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
     n_cand = jnp.sum(ref_oh, axis=0)
     free_fslots = jnp.sum((s.f2row < 0).astype(jnp.int32))
     free_gslots = jnp.sum((s.g2row < 0).astype(jnp.int32))
-    eligible = gr.active & (gr.sind < 0) \
+    # a group is admissible if it needs a slot (sind < 0) OR it is a
+    # pure pose clone "graduating" to a feature-anchor group: clones
+    # already hold a slot + covariance, so admission only commits their
+    # feature cohort and clears the clone class. Static gate: without
+    # cloning no is_clone bit is ever set.
+    cloning = cfg.use_OOS or cfg.clone_frame_groups
+    grad = (gr.sind >= 0) & gr.is_clone if cloning \
+        else jnp.zeros((NG,), bool)
+    need_slot = gr.active & (gr.sind < 0)
+    eligible = gr.active & (need_slot | grad) \
         & (n_cand >= cfg.num_gauge_xy_features)
 
     # rank eligible groups by candidate count (desc); admit while the
@@ -499,19 +509,26 @@ def _admit_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
     rank, before = _rank_by_key(jnp.ones((NG,), bool), key.astype(jnp.int32))
     demand = jnp.where(eligible, n_cand, 0)
     cum_before = jnp.sum(before * demand[None, :], axis=1, dtype=jnp.int32)
-    take = eligible & (rank < free_gslots) \
+    # only slot-needing groups consume the free-slot budget; graduating
+    # clones pass the slot check unconditionally
+    slot_before = jnp.sum(before & (eligible & need_slot)[None, :], axis=1,
+                          dtype=jnp.int32)
+    slot_ok = jnp.where(need_slot, slot_before < free_gslots, True)
+    take = eligible & slot_ok \
         & (rank < cfg.max_group_admissions) \
         & (cum_before < jnp.maximum(
             free_fslots - max(cfg.num_gauge_xy_features, 1) + 1, 0))
 
     def admit(s: VIOState) -> VIOState:
         fr, gr = s.features, s.groups
-        # assign group slots to taken rows
+        # assign group slots to taken slot-needing rows (graduating
+        # clones keep the slot they already own)
         gslot_of_row, got_g = _rank_assign(
-            s.g2row < 0, take, -n_cand.astype(s.P.dtype))
+            s.g2row < 0, take & need_slot, -n_cand.astype(s.P.dtype))
         tgt = jnp.where(got_g, gslot_of_row, G)
-        gr = gr._replace(sind=jnp.where(got_g, gslot_of_row.astype(
-            jnp.int32), gr.sind))
+        gr = gr._replace(
+            sind=jnp.where(got_g, gslot_of_row.astype(jnp.int32), gr.sind),
+            is_clone=gr.is_clone & ~take)
         g2row, new_slot, _ = _place_one_hot(tgt, G, s.g2row)
         # covariance init for ALL new slots at once: every entry of an
         # admitted slot's block reads from the (Wsb, Tsb) rows. The source
@@ -570,11 +587,17 @@ def _commit_feature_admissions(cfg: VIOConfig, s: VIOState, slot_of_row,
 
 
 def _admit_features_within_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
-    """AddFeaturesWithInGroups (src/manager.cpp:358-405)."""
+    """AddFeaturesWithInGroups (src/manager.cpp:358-405).
+
+    Pure pose clones are NOT admission anchors: features may only
+    trickle into groups that entered (or graduated) through the gated
+    _admit_groups path, keeping admission cadence identical to the
+    non-cloning filter (see GroupTable.is_clone)."""
     fr, gr = s.features, s.groups
     NG = gr.gid.shape[0]
     cand = _candidate_mask(cfg, s)
-    ref_instate = _oh_take(gr.sind >= 0, jnp.clip(fr.ref, 0, NG - 1), NG)
+    anchor_ok = (gr.sind >= 0) & ~gr.is_clone
+    ref_instate = _oh_take(anchor_ok, jnp.clip(fr.ref, 0, NG - 1), NG)
     want = cand & ref_instate & (fr.ref >= 0)
     slot_of_row, got = _rank_assign(s.f2row < 0, want,
                                     _admission_score(cfg, fr))
@@ -731,7 +754,10 @@ def _refresh_gauge_features(cfg: VIOConfig, s: VIOState) -> VIOState:
     is_gauge = fr.active & (fr.status == FS_GAUGE) & (fr.sind >= 0)
     ref_oh = fr.ref[:, None] == jnp.arange(NG)[None, :]
     n_gauge = jnp.sum(ref_oh & is_gauge[:, None], axis=0)
-    deficit = jnp.where(gr.instate,
+    # pure pose clones anchor no features by construction — excluding
+    # them keeps the rare-branch cond from firing every frame in
+    # cloning configs (their deficit would always read num_gauge_xy)
+    deficit = jnp.where(gr.instate & ~gr.is_clone,
                         cfg.num_gauge_xy_features - n_gauge, 0)
 
     def run(s):
@@ -867,6 +893,7 @@ def _create_group_and_init_tracks(cfg: VIOConfig, s: VIOState) -> VIOState:
         Tsb=gr.Tsb.at[row].set(s.X.Tsb),
         lifetime=gr.lifetime.at[row].set(0),
         sind=gr.sind.at[row].set(-1),
+        is_clone=gr.is_clone.at[row].set(False),
         # FEJ linearization point = pose at creation (never retracted)
         Rsb_fej=gr.Rsb_fej.at[row].set(s.X.Rsb),
         Tsb_fej=gr.Tsb_fej.at[row].set(s.X.Tsb),
@@ -961,7 +988,9 @@ def _clone_group_into_state(cfg: VIOConfig, s: VIOState, row) -> VIOState:
     can = jnp.any(free)
     slot = jnp.argmax(free).astype(jnp.int32)
     gr = s.groups
-    gr = gr._replace(sind=gr.sind.at[jnp.where(can, row, NG)].set(slot))
+    gr = gr._replace(
+        sind=gr.sind.at[jnp.where(can, row, NG)].set(slot),
+        is_clone=gr.is_clone.at[jnp.where(can, row, NG)].set(True))
     g2row = s.g2row.at[jnp.where(can, slot, G)].set(row)
     new_slot_mask = (jnp.arange(G) == slot) & can
     # covariance init = copy of the current (Wsb, Tsb) error rows

@@ -168,9 +168,18 @@ def sqrt_update(S: jnp.ndarray, H: jnp.ndarray, inn: jnp.ndarray,
     ~0.7-2.4 ms/frame-batch at these shapes; the lanes kernels run in
     ~0.1-0.3 ms — ops/lanes_chol.py).
 
+    Stacks wider than the fused-inverse compile wall (m > 128 — the
+    OOS update at m~216) are processed as SEQUENTIAL block downdates:
+    with diagonal R, the EKF update factorizes exactly over row blocks
+    when each block's innovation is corrected by the error accumulated
+    so far (inn_k - H_k @ err). Every block then rides the fast lanes
+    kernels instead of the generic XLA cholesky+solve fallback that
+    made the consistency config 3.9x slower than base (round-4 bench,
+    bisected in ARCHITECTURE.md "Round-5 perf roadmap").
+
     Returns (err (D,), S_new).
     """
-    from ..ops.lanes_chol import chol_inv_psd_lanes, tri_inv_psd_lanes
+    from ..ops.lanes_chol import _MAX_INV_UNROLL
     dtype = S.dtype
     m = H.shape[0]
     rv = row_valid.astype(dtype)
@@ -178,6 +187,23 @@ def sqrt_update(S: jnp.ndarray, H: jnp.ndarray, inn: jnp.ndarray,
     innm = inn * rv
     Rm = jnp.where(row_valid, diagR, jnp.ones((), dtype))
 
+    if m <= _MAX_INV_UNROLL:
+        return _sqrt_downdate_block(S, Hm, innm, Rm)
+
+    nblk = -(-m // _MAX_INV_UNROLL)
+    bs = -(-m // nblk)                      # balanced static block size
+    err = jnp.zeros((S.shape[0],), dtype)
+    for k in range(nblk):
+        sl = slice(k * bs, min((k + 1) * bs, m))
+        inn_k = innm[sl] - jnp.matmul(Hm[sl], err, precision=HIGHEST)
+        err_k, S = _sqrt_downdate_block(S, Hm[sl], inn_k, Rm[sl])
+        err = err + err_k
+    return err, S
+
+
+def _sqrt_downdate_block(S, Hm, innm, Rm):
+    """One masked-row factor downdate (pre-masked inputs); m <= 128."""
+    from ..ops.lanes_chol import chol_inv_psd_lanes, tri_inv_psd_lanes
     V = jnp.matmul(Hm, S, precision=HIGHEST)               # (m, Dc)
     Sinn = jnp.matmul(V, V.T, precision=HIGHEST) + jnp.diag(Rm)
     Lc, Linv = chol_inv_psd_lanes(Sinn)

@@ -64,6 +64,16 @@ class GroupTable(NamedTuple):
     sind: jnp.ndarray      # (NG,) int32, EKF slot or -1
     Rsb_fej: jnp.ndarray   # (NG,3,3) first-estimate pose (FEJ)
     Tsb_fej: jnp.ndarray   # (NG,3)
+    # True while the row is a PURE pose clone (entered the EKF window by
+    # clone_frame_groups/use_OOS cloning, anchors no instate features).
+    # Clones are a separate slot class: never a trickle-admission anchor
+    # (pipeline._admit_features_within_groups) and "graduate" to a
+    # feature-anchor group only through the gated _admit_groups path —
+    # this keeps admission cadence identical to the non-cloning filter
+    # (the round-4 clone-ATE regression: instate-at-birth groups let
+    # lenient-phase features into the EKF frames early, permanently
+    # poisoning the startup landmark map).
+    is_clone: jnp.ndarray  # (NG,) bool
 
     @property
     def active(self):
@@ -230,6 +240,7 @@ def init_state(cfg: VIOConfig, key=None) -> VIOState:
         sind=jnp.full((NG,), -1, jnp.int32),
         Rsb_fej=jnp.tile(jnp.eye(3, dtype=dt), (NG, 1, 1)),
         Tsb_fej=jnp.zeros((NG, 3), dt),
+        is_clone=jnp.zeros((NG,), bool),
     )
 
     if key is None:
