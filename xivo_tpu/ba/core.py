@@ -82,10 +82,15 @@ def _build_normal_eq(p: BAProblem, huber_thresh: float):
     return r, Jp, Jx, use, chi2
 
 
-def chi2_only(p: BAProblem, huber_thresh: float) -> jnp.ndarray:
-    """Total chi2 at p — residual-only sweep (no Jacobians), used by the
-    LM accept/reject test. Matches _build_normal_eq's chi2 definition
-    (raw squared norm of used residuals, not Huber-weighted)."""
+def chi2_only(p: BAProblem, huber_thresh: float):
+    """(total chi2, active-observation count) at p — residual-only sweep
+    (no Jacobians), used by the LM accept/reject test. chi2 matches
+    _build_normal_eq's definition (raw squared norm of used residuals,
+    not Huber-weighted). The count is part of the accept test: chi2
+    sums only mask & front pairs, so a step that pushes a landmark
+    behind a camera would silently DROP its (possibly large) residual
+    from chi2_try — comparing counts rejects such steps (advisor r4
+    finding #1)."""
     def per_pair(l, k):
         Xc = p.Rs[k].T @ (p.Xs[l] - p.Ts[k])
         z = Xc[2]
@@ -94,10 +99,20 @@ def chi2_only(p: BAProblem, huber_thresh: float) -> jnp.ndarray:
         r = xn - p.obs[l, k]
         use = p.mask[l, k] & front
         nrm = jnp.linalg.norm(r) + 1e-12
-        return (nrm ** 2) * use
+        return (nrm ** 2) * use, use
     Lm, K = p.mask.shape
     f = jax.vmap(jax.vmap(per_pair, in_axes=(None, 0)), in_axes=(0, None))
-    return jnp.sum(f(jnp.arange(Lm), jnp.arange(K)))
+    chi2, use = f(jnp.arange(Lm), jnp.arange(K))
+    return jnp.sum(chi2), jnp.sum(use.astype(jnp.int32))
+
+
+# LM accept hysteresis: a step must beat the current chi2 by this
+# RELATIVE margin. Keeps the accept decision away from the fp-noise
+# boundary so the psum'd distributed solver (whose reduction order
+# differs from the single-device sum) takes the SAME accept/reject
+# path as ba.core.solve (advisor r4 finding #2); steps improving chi2
+# by <0.001% are rejected, which cannot affect convergence.
+ACCEPT_MARGIN = 1e-5
 
 
 def ba_iteration(p: BAProblem, damping, huber_thresh: float):
@@ -171,8 +186,13 @@ def solve(p: BAProblem, iters: int = 10, damping: float = 1e-4,
     def body(carry, _):
         p, lam = carry
         p_try, chi2_cur = ba_iteration(p, lam, huber_thresh)
-        chi2_try = chi2_only(p_try, huber_thresh)
-        accept = chi2_try < chi2_cur
+        chi2_try, n_try = chi2_only(p_try, huber_thresh)
+        _, n_cur = chi2_only(p, huber_thresh)
+        # accept requires: real chi2 decrease (with hysteresis margin,
+        # see ACCEPT_MARGIN) AND no active observations lost (a dropped
+        # front=False pair removes its residual from chi2_try)
+        accept = (chi2_try < chi2_cur * (1.0 - ACCEPT_MARGIN)) \
+            & (n_try >= n_cur)
         p_next = jax.tree.map(
             lambda new, old: jnp.where(accept, new, old), p_try, p)
         lam_next = jnp.where(accept,

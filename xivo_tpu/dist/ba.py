@@ -94,20 +94,27 @@ def make_distributed_solver(mesh: Mesh, iters: int = 10,
 
     def _local_chi2(p: BAProblem):
         from ..ba.core import chi2_only
-        return jax.lax.psum(chi2_only(p, huber_thresh), axis)
+        c, n = chi2_only(p, huber_thresh)
+        return jax.lax.psum(c, axis), jax.lax.psum(n, axis)
 
     def local_solve(p: BAProblem):
         # adaptive LM accept/reject, mirroring ba.core.solve — the
-        # accept decision uses the PSUM'd chi2, so it is identical on
-        # every device and the N=1-vs-N equivalence contract holds
+        # accept decision uses the PSUM'd chi2 (identical on every
+        # device), the same active-count guard, and the same relative
+        # hysteresis margin (ba.core.ACCEPT_MARGIN keeps the decision
+        # away from the psum-reduction-order fp-noise boundary, so the
+        # N=1-vs-N accept/reject paths agree — advisor r4 findings)
+        from ..ba.core import ACCEPT_MARGIN
         dtype = p.Xs.dtype
         lam0 = jnp.asarray(damping, dtype)
 
         def body(carry, _):
             p, lam = carry
             p_try, chi2_cur = local_iter(p, lam)
-            chi2_try = _local_chi2(p_try)
-            accept = chi2_try < chi2_cur
+            chi2_try, n_try = _local_chi2(p_try)
+            _, n_cur = _local_chi2(p)
+            accept = (chi2_try < chi2_cur * (1.0 - ACCEPT_MARGIN)) \
+                & (n_try >= n_cur)
             p_next = jax.tree.map(
                 lambda new, old: jnp.where(accept, new, old), p_try, p)
             lam_next = jnp.where(accept,
