@@ -154,7 +154,44 @@ def stage_pcw():
     })
     if not np.isfinite(rmse) or rmse > 1.0:
         raise BenchNumericError(f"PCW ATE {rmse} (expected finite, <1 m)")
+    _roofline(run, (fresh_states(), fib), wall, "pcw")
     return fib, fresh_states, gt, T, B, compile_s
+
+
+V5E_PEAK_BF16_FLOPS = 197e12   # TPU v5e (v5 lite) MXU peak, bf16
+V5E_HBM_BYTES_S = 819e9        # v5e HBM bandwidth
+
+
+def _roofline(jitted, args, wall_s, prefix):
+    """Utilization accounting from XLA's own cost model (round-4
+    verdict item 4): per-program FLOPs + HBM bytes via
+    lower().compile().cost_analysis(), turned into achieved TFLOP/s,
+    %-of-v5e-peak (MFU), achieved GB/s, %-of-HBM-BW, and which
+    resource binds. Lowering re-traces but the compile hits the
+    persistent cache; any relay hiccup degrades to absent fields."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        if flops <= 0 and byts <= 0:
+            return
+        tflops = flops / wall_s / 1e12
+        gbps = byts / wall_s / 1e9
+        mfu = 100.0 * flops / wall_s / V5E_PEAK_BF16_FLOPS
+        hbm = 100.0 * byts / wall_s / V5E_HBM_BYTES_S
+        bound = "latency" if max(mfu, hbm) < 5.0 else (
+            "hbm" if hbm >= mfu else "mxu")
+        FIELDS.update({
+            f"{prefix}_tflops": round(tflops, 2),
+            f"{prefix}_mfu_pct": round(mfu, 2),
+            f"{prefix}_hbm_gbps": round(gbps, 1),
+            f"{prefix}_hbm_pct": round(hbm, 2),
+            f"{prefix}_bound": bound,
+        })
+    except Exception:
+        pass  # cost model unavailable through this backend — omit
 
 
 class BenchNumericError(AssertionError):
@@ -198,10 +235,20 @@ def stage_consistency(fib, fresh_states, gt, T, B):
         FIELDS["consistency_remeasured"] = tries
     cerr = np.linalg.norm(np.asarray(outs.Tsb)[0] - gt["Tsb"], axis=1)
     cate = float(np.sqrt(np.mean(cerr ** 2)))
+    wall_trusted = cwall > 0.5 * FIELDS.get("wall_s", 0.0)
     FIELDS.update({
-        "consistency_fps": round(B * T / cwall, 1),
+        # a wall that still beats the strictly-lighter base stage after
+        # all retries is a relay completion-signal glitch, not a
+        # measurement — publish null instead of a 566k-f/s-style number
+        # (advisor r4 finding #5)
+        "consistency_fps": round(B * T / cwall, 1) if wall_trusted
+        else None,
         "consistency_ate_rmse_m": round(cate, 4),
     })
+    if not wall_trusted:
+        FIELDS["consistency_wall_suspect"] = True
+    else:
+        _roofline(crun, (fresh_states(), fib), cwall, "consistency")
     if not np.isfinite(cate) or cate > 1.0:
         raise BenchNumericError(
             f"consistency ATE {cate} (expected finite, <1 m)")
@@ -291,6 +338,51 @@ def stage_image():
     })
     if not np.isfinite(np.asarray(Tsb)).all():
         raise BenchNumericError("image-mode produced non-finite poses")
+
+    # equidistant variant: the room1-shaped fisheye lens, so the image
+    # number includes the distortion-model cost the accuracy rehearsal
+    # pays (round-4 verdict item 6). Third image compile — budget-gated.
+    if remaining() < FIELDS.get("pcw_compile_s", 60.0) + 30.0:
+        FIELDS["img_equidistant_skipped_for_budget"] = True
+        return
+    frames_e, cfg_e, imu_e = build_frames(camera="equidistant")
+    rest_e = frames_e[20:60]
+    packed_e = tuple(jnp.stack([f[i] for f in rest_e]) for i in range(5))
+    s_e = init_state(cfg_e)
+    a0, g0 = imu_e.meas(0.0)
+    s_e = s_e._replace(last_gyro=jnp.asarray(g0, np.float32),
+                       last_accel=jnp.asarray(a0, np.float32))
+    fes_e = init_frontend(cfg_e)
+
+    def bodye(carry, inp):
+        s, fes = carry
+        gy, ac, dts, fdt, img = inp
+        s, fes, out = jax.vmap(partial(vio_frame_image, cfg_e))(
+            s, fes, gy, ac, dts, fdt, img)
+        return (s, fes), out.Tsb
+
+    @jax.jit
+    def rune(s, fes, packed):
+        (_, _), Tsb = jax.lax.scan(bodye, (s, fes), packed)
+        return Tsb
+
+    packed_eb = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[:, None],
+                                   (x.shape[0], img_b) + x.shape[1:]),
+        packed_e)
+    seb = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (img_b,) + x.shape).copy(), s_e)
+    feb = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (img_b,) + x.shape).copy(), fes_e)
+    Tsb = rune(seb, feb, packed_eb)
+    jax.block_until_ready(Tsb)
+    t0 = time.perf_counter()
+    Tsb = rune(seb, feb, packed_eb)
+    jax.block_until_ready(Tsb)
+    walle = time.perf_counter() - t0
+    FIELDS["img_fps_equidistant"] = round(len(rest_e) * img_b / walle, 1)
+    if not np.isfinite(np.asarray(Tsb)).all():
+        raise BenchNumericError("equidistant image-mode non-finite poses")
 
 
 _TIMES_PATH = os.path.join(_CACHE_DIR, "bench_stage_times.json")

@@ -25,16 +25,23 @@ from xivo_tpu.frontend import init_frontend, vio_frame_image
 from xivo_tpu.geom import so3
 from xivo_tpu.sim import get_imu_sim
 from xivo_tpu.sim.render import render_dots
-from xivo_tpu.sim.configs import IMG_CFG, make_world
+from xivo_tpu.sim.configs import EQUIDISTANT_512_CAM, IMG_CFG, make_world
 
 
-def build_frames():
+def build_frames(camera: str = "pinhole"):
+    """camera='pinhole' (headline 512x512) or 'equidistant' (the
+    room1-shaped fisheye lens, so the image number can include the
+    distortion-model cost the accuracy rehearsal pays — round-4
+    verdict item 6)."""
     from xivo_tpu.filter.layout import Dims
 
     cfg_json = dict(IMG_CFG)
-    cfg_json["camera_cfg"] = {"model": "pinhole", "rows": 512, "cols": 512,
-                              "fx": 191.0, "fy": 191.0, "cx": 256.0,
-                              "cy": 256.0}
+    if camera == "equidistant":
+        cfg_json["camera_cfg"] = dict(EQUIDISTANT_512_CAM)
+    else:
+        cfg_json["camera_cfg"] = {"model": "pinhole", "rows": 512,
+                                  "cols": 512, "fx": 191.0, "fy": 191.0,
+                                  "cx": 256.0, "cy": 256.0}
     # TUM-VI-regime tracker settings + a track table SIZED TO THE
     # BUDGET: LK cost is linear in table rows, and a 256-row table
     # under a 60-feature budget burned 4x the LK time for nothing
@@ -51,6 +58,13 @@ def build_frames():
                       seed=1)
     Xs = make_world(800, seed=2)
     K = np.array([[191.0, 0, 256], [0, 191, 256], [0, 0, 1]])
+    project_fn = None
+    if camera == "equidistant":
+        from xivo_tpu import cam as cam_mod
+        kind = cam_mod.MODEL_IDS[cfg.cam_model]
+        intrin = jnp.asarray(cfg.cam_params)
+        project_fn = jax.jit(jax.vmap(
+            lambda xcn: cam_mod.project(kind, intrin, xcn)))
     Rbc = np.asarray(so3.exp(jnp.asarray(cfg.X_Wbc)))
     Tbc = np.asarray(cfg.X_Tbc)
 
@@ -72,7 +86,8 @@ def build_frames():
             i += 1
         fdt = max(t - t_prev - imu_dt * i, 0.0)
         Rsb, Tsb = imu.gsb(t)
-        img = render_dots(Xs, Rsb @ Rbc, Rsb @ Tbc + Tsb, K, 512, 512)
+        img = render_dots(Xs, Rsb @ Rbc, Rsb @ Tbc + Tsb, K, 512, 512,
+                          project_fn=project_fn)
         frames.append((jnp.asarray(gys), jnp.asarray(acs),
                        jnp.asarray(dts), jnp.float32(fdt),
                        jnp.asarray(img)))

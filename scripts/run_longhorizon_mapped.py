@@ -88,6 +88,7 @@ def run_arm(total_time, use_lc, dtype="float64", seed=0, vis_dt=0.05,
             render_noise=2.0, exposure_wobble=0.05, markers=False,
             kick_time=0.0, kick_T=(0.3, -0.25, 0.2), kick_yaw=0.05,
             save_state_at=0.0, state_path=None,
+            bias_walk_gyro=0.0, bias_walk_accel=0.0,
             verbose=False, **overrides):
     """One arm of the study. Returns dict of metrics."""
     from xivo_tpu import cam as cam_mod
@@ -125,7 +126,14 @@ def run_arm(total_time, use_lc, dtype="float64", seed=0, vis_dt=0.05,
     sim_kw = dict(rest_time=rest_time) if motion == "tumvi_room" else {}
     imu = get_imu_sim(motion, T=total_time + 1.0,
                       noise_accel=noise_accel,
-                      noise_gyro=noise_gyro, seed=seed, **sim_kw)
+                      noise_gyro=noise_gyro, seed=seed,
+                      # realistic drift source: biases WALK (matching
+                      # the filter's Qimu model) instead of sitting at
+                      # constants the filter estimates away — the
+                      # regime where loop closure pays without an
+                      # injected kick (round-4 verdict item 3)
+                      bias_walk_gyro=bias_walk_gyro,
+                      bias_walk_accel=bias_walk_accel, **sim_kw)
     world = TexturedBoxWorld(kind, np.asarray(intrin), 512, 512,
                              half_extents=(4.0, 4.0, 2.5),
                              texture_scale=4.0, octaves=5, seed=seed,
@@ -302,6 +310,12 @@ def main():
     ap.add_argument("-kick_T", type=float, nargs=3,
                     default=(0.3, -0.25, 0.2))
     ap.add_argument("-kick_yaw", type=float, default=0.05)
+    ap.add_argument("-noise_gyro", type=float, default=1.2e-3)
+    ap.add_argument("-noise_accel", type=float, default=1.2e-2)
+    ap.add_argument("-bias_walk_gyro", type=float, default=0.0,
+                    help="true gyro-bias random walk (rad/s/sqrt(s)); "
+                         "pair with -set Qimu_gyro_bias if changed")
+    ap.add_argument("-bias_walk_accel", type=float, default=0.0)
     ap.add_argument("-set", action="append", default=[],
                     metavar="KEY=VAL",
                     help="config override, e.g. -set lc_keyframe_every=8 "
@@ -315,7 +329,13 @@ def main():
         try:
             overrides[k] = int(v)
         except ValueError:
-            overrides[k] = float(v)
+            try:
+                overrides[k] = float(v)
+            except ValueError:
+                # bools and string knobs (e.g. covariance_form=sqrt,
+                # lc_anchor_rows=true)
+                overrides[k] = {"true": True, "false": False}.get(
+                    v.lower(), v)
 
     arms = [True, False] if args.ab else [not args.no_lc]
     res = {}
@@ -326,6 +346,10 @@ def main():
                     motion=args.motion, markers=args.markers,
                     nn_thresh=args.nn_thresh if args.nn_thresh > 0
                     else None,
+                    noise_gyro=args.noise_gyro,
+                    noise_accel=args.noise_accel,
+                    bias_walk_gyro=args.bias_walk_gyro,
+                    bias_walk_accel=args.bias_walk_accel,
                     kick_time=args.kick_time,
                     kick_T=tuple(args.kick_T), kick_yaw=args.kick_yaw,
                     verbose=args.verbose, **overrides)

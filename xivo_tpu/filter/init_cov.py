@@ -153,20 +153,30 @@ def _obs_blocks_batched(cfg: VIOConfig, s: VIOState, rows):
 
     w = (seen & cheir).astype(dtype)[:, :, None, None]
     Hxw = Hx * w
-    # group-pose placement: observing slot j gets Hg, the reference
-    # slot sref[f] gets Hr — one-hot outer products, no scatters
-    eyeG = jnp.eye(G, dtype=dtype)
-    ohr = (sref[:, None] == jnp.arange(G)[None, :]).astype(dtype)
-    gblk = (eyeG[None, :, :, None, None] * Hg[:, :, None]
-            + ohr[:, None, :, None, None] * Hr[:, :, None])  # (F,G,G,2,6)
-    gblk = gblk.transpose(0, 1, 3, 2, 4).reshape(
-        gblk.shape[0], G, 2, 6 * G)
-    Hcam = dint if cfg.online_camera_calib else jnp.zeros_like(dint)
-    Ho = jnp.concatenate([Hc, Hcam, gblk], axis=-1) * w    # (F,G,2,K)
-
     W = 1.0 / cfg.subfilter.Rtri
     N = W * jnp.einsum("fgri,fgrj->fij", Hxw, Hxw)
-    M = W * jnp.einsum("fgri,fgrj->fij", Hxw, Ho)
+    # M assembled BLOCKWISE: the o-row of observation (f, g) has only
+    # four nonzero blocks — extrinsics, intrinsics, the OBSERVING group
+    # slot g and the REFERENCE slot sref[f]. The earlier form
+    # materialized the dense (F, G, G, 2, 6) group placement tensor and
+    # einsum'd (F, G, 2, K) against it EVERY frame (the admission cond
+    # is a select under batch vmap) — measured as the bulk of the
+    # +2.1 s/rep approximate_init_covariance cost on v5e (round-5
+    # profile_fej bisect). Blockwise there is no G^2 tensor at all:
+    M_ext = W * jnp.einsum("fgri,fgrj->fij", Hxw, Hc * w)   # (F,3,6)
+    if cfg.online_camera_calib:
+        M_cam = W * jnp.einsum("fgri,fgrj->fij", Hxw, dint * w)
+    else:
+        M_cam = jnp.zeros((Hxw.shape[0], 3, L.NCAM), dtype)
+    # per observing slot g: Hx^T Hg lands in column block g
+    M_obs = W * jnp.einsum("fgri,fgrj->fgij", Hxw, Hg * w)  # (F,G,3,6)
+    # reference block: sum over observations, placed at slot sref[f]
+    M_ref = W * jnp.einsum("fgri,fgrj->fij", Hxw, Hr * w)   # (F,3,6)
+    ohr = (sref[:, None] == jnp.arange(G)[None, :]).astype(dtype)
+    M_grp = M_obs + ohr[:, :, None, None] * M_ref[:, None]  # (F,G,3,6)
+    M_grp = M_grp.transpose(0, 2, 1, 3).reshape(
+        M_grp.shape[0], 3, 6 * G)
+    M = jnp.concatenate([M_ext, M_cam, M_grp], axis=-1)     # (F,3,K)
 
     # the anchor observation itself: reprojection into the ref frame is
     # pose-independent (exactly), pins the (X/Z, Y/Z) components, and

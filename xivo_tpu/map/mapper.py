@@ -235,10 +235,13 @@ def close_loop(cfg: VIOConfig, s: VIOState, ms: MapState,
       position covariance projected into pixels (diagonal approximation)
       — a well-known old landmark pulls hard, a fuzzy one barely
       (replaces the flat Rlc of round 1);
-    * if the landmark's ANCHOR group is still in the EKF window, the
-      rows also carry the anchor-pose block (ComputeLCJacobian's
-      matched-group derivative, src/oos.cpp:92-145) so the loop closure
-      corrects the OLD pose too.
+    * the anchor-pose block (ComputeLCJacobian's matched-group
+      derivative, src/oos.cpp:92-145) is OFF by default
+      (cfg.lc_anchor_rows=False): map landmarks here are stored in the
+      WORLD frame, so once merged their position no longer depends on
+      the anchor pose and the block would inject a spurious
+      correlation. The knob re-enables the rows for A/B study when the
+      anchor group is still in the EKF window.
     """
     from ..filter.update import absorb_error, measurement_update
 

@@ -56,7 +56,8 @@ def build_pcw_stream(cfg: VIOConfig, total_time=10.0, imu_dt=0.01,
                      seed=1, world_seed=0, imu_cap=32, meas_cap=256,
                      true_Rbc=None, true_Tbc=None, true_Cg=None,
                      true_Ca=None, true_td=0.0, true_K=None, world=None,
-                     use_cfg_camera=False):
+                     use_cfg_camera=False, bias_walk_accel=0.0,
+                     bias_walk_gyro=0.0, bias_gyro=None, bias_accel=None):
     """Simulate and pack one sequence. Returns (FrameInputs, gt dict).
 
     The ``true_*`` arguments inject ground-truth calibration that may
@@ -69,8 +70,15 @@ def build_pcw_stream(cfg: VIOConfig, total_time=10.0, imu_dt=0.01,
       * true_td — images render the scene at (t + true_td) but carry
         timestamp t (camera clock lags the IMU clock by td).
     """
-    imu = get_imu_sim(motion, T=total_time + 1.0, noise_accel=noise_accel,
-                      noise_gyro=noise_gyro, seed=seed)
+    imu_kw = dict(T=total_time + 1.0, noise_accel=noise_accel,
+                  noise_gyro=noise_gyro, seed=seed,
+                  bias_walk_accel=bias_walk_accel,
+                  bias_walk_gyro=bias_walk_gyro)
+    if bias_gyro is not None:
+        imu_kw["bias_gyro"] = np.asarray(bias_gyro, float)
+    if bias_accel is not None:
+        imu_kw["bias_accel"] = np.asarray(bias_accel, float)
+    imu = get_imu_sim(motion, **imu_kw)
     if isinstance(world, str) and world == "tube":
         # landmarks in a band around the actual trajectory — sustained
         # visibility for long-horizon runs (see sim/pcw.py TubePCW)
@@ -141,6 +149,10 @@ def build_pcw_stream(cfg: VIOConfig, total_time=10.0, imu_dt=0.01,
     fi = pack_frame_inputs(frames, imu_cap=imu_cap, meas_cap=meas_cap,
                            dtype=dtype)
     gt = {k: np.asarray(v) for k, v in gt.items()}
+    # true (possibly walking) IMU biases at the vision stamps — the
+    # online-calibration tests track these, not just the constants
+    gt["bg"] = np.stack([imu.bias_gyro_t(tv) for tv in t_vis])
+    gt["ba"] = np.stack([imu.bias_accel_t(tv) for tv in t_vis])
     # seed sample for state.last_gyro/accel
     a0, g0 = imu.meas(0.0)
     gt["gyro0"], gt["accel0"] = g0, a0
