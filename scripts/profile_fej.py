@@ -72,3 +72,46 @@ for name, over in VARIANTS:
     wall = min(walls)
     print(f"{name:14s} wall/rep {wall:7.3f}s  fps {B*T/wall:8.1f}  "
           f"ATE {ate:.4f}  (compile {compile_s:.0f}s)", flush=True)
+
+# full-consistency variant (opt-in): use_OOS + clone + fej + init_cov
+if os.environ.get("FULLSTACK"):
+    cfg = config_from_json(PCW_CFG, dtype="float32",
+                           sim_initialize_depths=True,
+                           propagation_mode="fast",
+                           covariance_form="sqrt", use_OOS=True,
+                           clone_frame_groups=True, use_fej=True,
+                           approximate_init_covariance=True,
+                           use_compression=os.environ.get(
+                               "NOCOMPRESS") != "1")
+    fi, gt = build_pcw_stream(cfg, total_time=5.0, noise_px=0.25)
+    T = int(fi.frame_dt.shape[0])
+
+    def fresh():
+        s = batch_states(cfg, B)
+        dt = np.dtype(cfg.dtype)
+        return s._replace(
+            last_gyro=jnp.broadcast_to(jnp.asarray(gt["gyro0"], dt),
+                                       (B, 3)).copy(),
+            last_accel=jnp.broadcast_to(jnp.asarray(gt["accel0"], dt),
+                                        (B, 3)).copy())
+
+    fib = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), fi)
+    run = make_batch_runner(cfg)
+    import time as _t
+    t0 = _t.time()
+    s, outs = run(fresh(), fib)
+    jax.block_until_ready(outs.Tsb)
+    comp = _t.time() - t0
+    err = np.linalg.norm(np.asarray(outs.Tsb)[0] - gt["Tsb"], axis=1)
+    ate = float(np.sqrt(np.mean(err ** 2)))
+    walls = []
+    for _ in range(2):
+        st = fresh()
+        jax.block_until_ready(st.P)
+        t0 = _t.perf_counter()
+        s, outs = run(st, fib)
+        jax.block_until_ready(outs.Tsb)
+        walls.append(_t.perf_counter() - t0)
+    wall = min(walls)
+    print(f"fullstack      wall/rep {wall:7.3f}s  fps {B*T/wall:8.1f}  "
+          f"ATE {ate:.4f}  (compile {comp:.0f}s)", flush=True)

@@ -31,18 +31,25 @@ sys.path.insert(0, os.path.join(ROOT, "scripts"))
 
 
 def test_micro_kidnap_loop_closure_pays():
+    """Kidnap recovery on the CHEAP point-cloud world: POINTCLOUD-mode
+    id-derived descriptors (pipeline.tracker_pointcloud splitmix32)
+    drive the full mapper stack without imagery, so both arms fit the
+    default tier (~70 s total vs ~14 min for the textured twin in
+    tests/test_longhorizon_mapped.py). The kick lands mid-revisit
+    (t=15 s of the ~14 s orbit lap), when eligible pre-kick map entries
+    are in view — closures fire while the injected covariance
+    inflation is live and snap the window back. Measured (this
+    machine): post-kick RMSE 0.013 mapped vs 0.479 unmapped."""
     import importlib
-    m = importlib.import_module("run_longhorizon_mapped")
-    kw = dict(total_time=14.0, motion="loop", markers=True,
-              kick_time=8.0, dtype="float64", map_capacity=2048,
-              lc_keyframe_every=8, lc_min_age_frames=60)
-    lc = m.run_arm(use_lc=True, **kw)
-    base = m.run_arm(use_lc=False, **kw)
+    dk = importlib.import_module("diag_kidnap_pcw")
+    lc = dk.run(True, total_time=20.0, kick_time=15.0)
+    base = dk.run(False, total_time=20.0, kick_time=15.0)
     # the kick offsets the live window; tracking alone cannot see it
-    assert base["post_kick_rmse"] > 0.2, base
-    # the mapped arm closes loops and measurably removes the offset
-    assert lc["n_lc"] > 0, lc
-    assert lc["post_kick_rmse"] < 0.8 * base["post_kick_rmse"], (lc, base)
+    assert base["post_kick_rmse"] > 0.25, base
+    # the mapped arm closes loops and removes the offset
+    assert lc["n_lc"] > 100, lc
+    assert lc["post_kick_rmse"] < 0.3 * base["post_kick_rmse"], (lc, base)
+    assert lc["final"] < 0.3 * base["final"], (lc, base)
 
 
 def test_micro_consistency_stack_reduces_nees():

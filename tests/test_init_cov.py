@@ -90,3 +90,43 @@ def test_psd_through_heavy_churn():
     ev = np.linalg.eigvalsh(P)
     assert ev[0] > -1e-9 * max(ev[-1], 1.0), ev[0]
     assert np.isfinite(np.asarray(outs.Tsb)).all()
+
+
+def test_jac_blocks_fg_matches_per_pair():
+    """The vectorized (F,G) jacobian sweep (init_cov._jac_blocks_fg)
+    equals the per-pair obs_jacobian reference on random geometry."""
+    import jax
+    import jax.numpy as jnp
+    from xivo_tpu import cam as cam_mod
+    from xivo_tpu.filter.init_cov import _jac_blocks_fg, obs_jacobian
+    from xivo_tpu.geom import so3
+
+    rng = np.random.default_rng(7)
+    F, G = 5, 4
+    kind = cam_mod.MODEL_IDS["pinhole"]
+    intrin = jnp.asarray([480.0, 640, 275, 275, 320, 240, 0, 0, 0, 0])
+    Rbc = np.asarray(so3.exp(jnp.asarray([-1.55, 0.02, -0.01])))
+    Tbc = jnp.asarray([0.02, -0.01, 0.03])
+    Rsbr = jnp.asarray(np.stack([np.asarray(so3.exp(jnp.asarray(
+        0.2 * rng.standard_normal(3)))) for _ in range(F)]))
+    Tsbr = jnp.asarray(rng.standard_normal((F, 3)) * 0.5)
+    Rg = jnp.asarray(np.stack([np.asarray(so3.exp(jnp.asarray(
+        0.2 * rng.standard_normal(3)))) for _ in range(G)]))
+    Tg = jnp.asarray(rng.standard_normal((G, 3)) * 0.5)
+    x_s = jnp.asarray(np.concatenate(
+        [0.2 * rng.standard_normal((F, 2)),
+         np.log(rng.uniform(2.0, 6.0, (F, 1)))], axis=1))
+
+    dtype = jnp.float64
+    out_vec = _jac_blocks_fg(kind, intrin, jnp.asarray(Rbc), Tbc,
+                             Rsbr, Tsbr, Rg, Tg, x_s, dtype)
+    jac_g = jax.vmap(obs_jacobian, in_axes=(
+        None, None, None, None, None, None, 0, 0, None, None))
+    jac_fg = jax.vmap(jac_g, in_axes=(
+        None, None, None, None, 0, 0, None, None, 0, None))
+    out_ref = jac_fg(kind, intrin, jnp.asarray(Rbc), Tbc,
+                     Rsbr, Tsbr, Rg, Tg, x_s, dtype)
+    names = ["Hx", "Hc", "Hg", "Hr", "dint", "good"]
+    for nm, a, b in zip(names, out_vec, out_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-12, err_msg=nm)

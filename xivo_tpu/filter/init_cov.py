@@ -99,6 +99,81 @@ def obs_jacobian(kind: int, intrin, Rbc, Tbc, Rsbr, Tsbr, Rg, Tg, x,
     return Hx, Hc, Hg, Hr, dxp_dintrin, good
 
 
+def _jac_blocks_fg(kind, intrin, Rbc, Tbc, Rsbr, Tsbr, Rg, Tg, x_s,
+                   dtype):
+    """All (F, G) observation-jacobian blocks in ~6 fused contractions.
+
+    Same math as ``obs_jacobian`` (pinned equal in
+    tests/test_init_cov.py) but expressed over the full (F, G) sweep:
+    the nested-vmap form emitted ~12 tiny batched matmuls per pair —
+    measured as the bulk of the approximate_init_covariance device cost
+    (ARCHITECTURE.md round-5: jacobian math ~1.5 s/rep of the 2.4 s
+    overhead). Here every right-hand factor that depends on f only or
+    g only is precomputed once, the f x g coupling is four
+    (G,3,3)x(F,3,3) einsums, and all seven blocks contract against the
+    2x3 pixel projector in ONE batched (F,G,2,3)@(F,G,3,21) matmul.
+    """
+    F = x_s.shape[0]
+    G = Rg.shape[0]
+    Rbc_t = Rbc.T
+
+    # per-f quantities
+    Xc, dXc_dx = jax.vmap(unproject_logz)(x_s)             # (F,3),(F,3,3)
+    Xbr = Xc @ Rbc.T + Tbc                                  # (F,3)
+    Xs = jnp.einsum("fij,fj->fi", Rsbr, Xbr) + Tsbr         # (F,3)
+    A = jnp.einsum("fij,jk,fkl->fil", Rsbr, Rbc, dXc_dx)    # (F,3,3)
+    E = -jnp.einsum("fij,jk,fkl->fil", Rsbr, Rbc,
+                    jax.vmap(so3.hat)(Xc))                  # (F,3,3)
+    Wr = -jnp.einsum("fij,fjk->fik", Rsbr,
+                     jax.vmap(so3.hat)(Xbr))                # (F,3,3)
+
+    # per-g quantities
+    Bc = jnp.einsum("ji,gkj->gik", Rbc, Rg)                 # Rbc^T Rg^T
+
+    # per-(f,g) geometry
+    Xb = jnp.einsum("gji,fgj->fgi", Rg,
+                    Xs[:, None, :] - Tg[None, :, :])        # (F,G,3)
+    Xcn = jnp.einsum("ji,fgj->fgi", Rbc, Xb - Tbc[None, None, :])
+    good = Xcn[..., 2] > 1e-6
+    Xcn_s = jnp.where(good[..., None], Xcn,
+                      jnp.asarray([0.0, 0.0, 1.0], dtype))
+
+    flat = Xcn_s.reshape(F * G, 3)
+    xcn, dxcn_dXcn = jax.vmap(project_persp)(flat)
+    _, dxp_dxcn, dxp_dintrin = jax.vmap(
+        lambda v: cam_mod.project_with_jac(kind, intrin, v))(xcn)
+    P = jnp.einsum("nij,njk->nik", dxp_dxcn,
+                   dxcn_dXcn).reshape(F, G, 2, 3)           # pixel proj
+    dint = dxp_dintrin.reshape(F, G, 2, -1)
+
+    # f x g coupled right-hand factors (Bc_g @ X_f)
+    CA = jnp.einsum("gij,fjk->fgik", Bc, A)
+    CE = jnp.einsum("gij,fjk->fgik", Bc, E)
+    CRs = jnp.einsum("gij,fjk->fgik", Bc, Rsbr)
+    CWr = jnp.einsum("gij,fjk->fgik", Bc, Wr)
+    hat_Xcn = jax.vmap(jax.vmap(so3.hat))(Xcn_s)            # (F,G,3,3)
+    hat_Xb = jnp.einsum("ij,fgjk->fgik", Rbc_t,
+                        jax.vmap(jax.vmap(so3.hat))(Xb))
+    BcB = jnp.broadcast_to(Bc[None], (F, G, 3, 3))
+
+    # right-factor stack: [Hx | HWbc HTbc | HWg HTg | HWr HTr] -> 21 cols
+    R_all = jnp.concatenate([
+        CA,                                                # Hx
+        hat_Xcn + CE,                                      # HWbc
+        -Rbc_t[None, None] + CRs,                          # HTbc
+        hat_Xb,                                            # HWg
+        -BcB,                                              # HTg
+        CWr,                                               # HWr
+        BcB,                                               # HTr
+    ], axis=-1)                                            # (F,G,3,21)
+    H_all = jnp.einsum("fgij,fgjk->fgik", P, R_all)        # (F,G,2,21)
+    Hx = H_all[..., 0:3]
+    Hc = H_all[..., 3:9]
+    Hg = H_all[..., 9:15]
+    Hr = H_all[..., 15:21]
+    return Hx, Hc, Hg, Hr, dint, good
+
+
 def _obs_blocks_batched(cfg: VIOConfig, s: VIOState, rows):
     """Normal-equation blocks for ALL feature rows at once.
 
@@ -143,11 +218,7 @@ def _obs_blocks_batched(cfg: VIOConfig, s: VIOState, rows):
         & (growc[None, :] != gref[:, None])                # (F,G)
 
     Rbc, Tbc = s.X.Rbc, s.X.Tbc
-    jac_g = jax.vmap(obs_jacobian, in_axes=(
-        None, None, None, None, None, None, 0, 0, None, None))
-    jac_fg = jax.vmap(jac_g, in_axes=(
-        None, None, None, None, 0, 0, None, None, 0, None))
-    Hx, Hc, Hg, Hr, dint, cheir = jac_fg(
+    Hx, Hc, Hg, Hr, dint, cheir = _jac_blocks_fg(
         kind, s.cam, Rbc, Tbc, Rsbr, Tsbr, Rg, Tg, x_s, dtype)
     # shapes: Hx (F,G,2,3), Hc/Hg/Hr (F,G,2,6), dint (F,G,2,NCAM)
 

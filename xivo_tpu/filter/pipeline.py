@@ -239,6 +239,22 @@ def tracker_pointcloud(cfg: VIOConfig, s: VIOState, meas_id, meas_xp,
     new_xp = jnp.einsum("mf,mk->fk", ohf, meas_xp.astype(fr.xp.dtype),
                          precision=HIGHEST)
     new_depth = ohf.T @ meas_depth.astype(fr.xp.dtype)
+    # id-derived descriptors (splitmix32 of fid per word): POINTCLOUD
+    # mode has no imagery, but a deterministic unique descriptor per
+    # landmark id makes the WHOLE mapper/loop-closure stack (Hamming
+    # retrieval, P3P, LC rows) exercisable on the cheap sim — the
+    # default-tier kidnap pin rides this (tests/test_headline_micro.py)
+    def _splitmix32(x):
+        x = (x + jnp.uint32(0x9e3779b9))
+        x = x ^ (x >> 16)
+        x = x * jnp.uint32(0x21f0aaad)
+        x = x ^ (x >> 15)
+        x = x * jnp.uint32(0x735a2d97)
+        return x ^ (x >> 15)
+
+    words = (new_fid.astype(jnp.uint32)[:, None] * jnp.uint32(8)
+             + jnp.arange(8, dtype=jnp.uint32)[None, :])
+    new_desc = _splitmix32(words)
     fr = fr._replace(
         fid=jnp.where(hit, new_fid, fr.fid),
         status=jnp.where(hit, FS_CREATED, fr.status),
@@ -252,6 +268,7 @@ def tracker_pointcloud(cfg: VIOConfig, s: VIOState, meas_id, meas_xp,
         tri_ok=jnp.where(hit, False, fr.tri_ok),
         adj=jnp.where(hit[:, None], False, fr.adj),
         sim_depth=jnp.where(hit, new_depth, fr.sim_depth),
+        desc=jnp.where(hit[:, None], new_desc, fr.desc),
     )
     return s._replace(features=fr)
 

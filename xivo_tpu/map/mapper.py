@@ -127,15 +127,40 @@ def map_insert(ms: MapState, Xs, desc, valid, cov=None, gid=None,
         # P+ = P1 - P1 (P1+P2)^-1 P1  (information-form fusion without
         # inverting the individual covariances)
         P1 = ms.cov[nnc]
-        K = jnp.einsum("nij,njk->nik", P1, _inv3(P1 + cov))
+        # regularized fusion gain: degenerate covariances (gauge-frozen
+        # features retire with EXACTLY zero XY blocks) make P1+P2
+        # singular — the clamped adjugate inverse then produces ~1e29
+        # gains and a garbage map position that NaNs the next closure.
+        # The jitter keeps K -> 0 there (first-observation-wins), which
+        # is the correct degenerate limit.
+        S12 = P1 + cov
+        tr12 = (S12[..., 0, 0] + S12[..., 1, 1] + S12[..., 2, 2]) / 3.0
+        rel = 1e-9 if dtype == jnp.float64 else 1e-5
+        eps = (rel * tr12 + jnp.asarray(1e-12, dtype))[..., None, None]
+        K = jnp.einsum("nij,njk->nik", P1,
+                       _inv3(S12 + eps * jnp.eye(3, dtype=dtype)))
         x_f = ms.Xs[nnc] + jnp.einsum("nij,nj->ni", K, Xs - ms.Xs[nnc])
-        P_f = P1 - jnp.einsum("nij,njk->nik", K, P1)
+        # Joseph-form fused covariance: (I-K) P1 (I-K)^T + K P2 K^T —
+        # structurally PSD where the short form P1 - K P1 loses
+        # definiteness to rounding after hundreds of re-fusions (the
+        # stable-descriptor worlds re-fuse every keyframe)
+        eye3 = jnp.eye(3, dtype=dtype)
+        IK = eye3[None] - K
+        P_f = jnp.einsum("nij,njk,nlk->nil", IK, P1, IK) \
+            + jnp.einsum("nij,njk,nlk->nil", K, cov, K)
+        P_f = 0.5 * (P_f + jnp.swapaxes(P_f, -1, -2))
         tgt_m = jnp.where(merge, nnc, M)                      # trash drop
         ms = ms._replace(
             Xs=ms.Xs.at[tgt_m].set(x_f),
             cov=ms.cov.at[tgt_m].set(P_f),
             desc=ms.desc.at[tgt_m].set(desc),   # freshest view wins
-            epoch=ms.epoch.at[tgt_m].set(epoch),
+            # epoch is BIRTH time, never refreshed by fusion: the fused
+            # position stays dominated by the established entry (P1
+            # weighting), and refreshing would let continuous keyframe
+            # re-insertion of live tracks keep their entries eternally
+            # young — lc_min_age_frames could then never mature for
+            # stable-descriptor worlds (id-derived PCW descriptors, or
+            # well-tracked marker tiles) and loop closure would starve
             n_merged=ms.n_merged + jnp.sum(merge.astype(jnp.int32)))
         valid = valid & ~merge
 
@@ -301,7 +326,10 @@ def close_loop(cfg: VIOConfig, s: VIOState, ms: MapState,
         HT_a = Hxs * aw
         Hg = jnp.concatenate([HW_a, HT_a], axis=1)            # (2,6)
         # measurement variance: Rlc + projected landmark uncertainty
-        Rrow = cfg.Rlc + jnp.diagonal(Hxs @ cov_w @ Hxs.T)
+        # (clamped: the fused map covariance is PSD only to rounding, a
+        # slightly negative projection must not make S indefinite)
+        Rrow = cfg.Rlc + jnp.maximum(
+            jnp.diagonal(Hxs @ cov_w @ Hxs.T), 0.0)
         inn = xp_meas - xp_pred
         w = (use & front).astype(dtype)
         return (H * w, Hg * w, jnp.clip(aslot[slot], 0, G - 1),
