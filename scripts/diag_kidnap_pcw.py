@@ -28,11 +28,14 @@ from xivo_tpu.sim.configs import PCW_CFG
 
 
 def run(use_lc, total_time=16.0, kick_time=8.0, seed=0,
-        bias_walk_gyro=0.0, bias_walk_accel=0.0, **cfg_over):
+        bias_walk_gyro=0.0, bias_walk_accel=0.0, motion="loop",
+        world=None, n_points=600, **cfg_over):
     from run_longhorizon_mapped import inject_global_drift
     from xivo_tpu.geom import so3
 
-    over = dict(X_Vsb=(0.9, 0.0, 0.45))  # loop motion starts mid-orbit
+    vsb = {"loop": (0.9, 0.0, 0.45),
+           "bigloop": (2.7, 0.0, 0.45)}[motion]
+    over = dict(X_Vsb=vsb)  # loop motions start mid-orbit
     if bias_walk_gyro > 0 or bias_walk_accel > 0:
         # filter's bias process noise matched to the true walk
         over.update(Qimu_gyro_bias=(bias_walk_gyro,) * 3,
@@ -45,7 +48,8 @@ def run(use_lc, total_time=16.0, kick_time=8.0, seed=0,
         lc_keyframe_every=8, lc_min_age_frames=120,
         lc_nn_dist_thresh=5, lc_min_matches=5, **over)
     fi, gt = build_pcw_stream(cfg, total_time=total_time, noise_px=0.25,
-                              motion="loop", seed=seed,
+                              motion=motion, seed=seed, world=world,
+                              n_points=n_points,
                               bias_walk_gyro=bias_walk_gyro,
                               bias_walk_accel=bias_walk_accel)
     s = init_state(cfg)

@@ -126,3 +126,34 @@ def test_kidnap_recovery_with_map(kidnap_arms):
     assert lc["post_kick_rmse"] < 0.65 * base["post_kick_rmse"], \
         (lc, base)
     assert lc["aligned_ate"] < base["aligned_ate"], (lc, base)
+
+
+# ---------------------------------------------------------------------
+# Loop closure pays under NATURAL drift (round-4 verdict item 3): no
+# kidnap injection — the drift is real accumulation from random-walk
+# IMU biases (sim/imu_sim.py bias walks, matching the filter's Qimu
+# model) on a loop whose radius exceeds the vision range, so the anchor
+# topology breaks every lap (motion="bigloop" + tube world + max_z=6:
+# a 2 m loop never drifts, some landmark chain always survives).
+# ---------------------------------------------------------------------
+
+def test_free_running_natural_drift_lc_win():
+    import importlib.util as _ilu
+    spec = _ilu.spec_from_file_location(
+        "dk", os.path.join(ROOT, "scripts", "diag_kidnap_pcw.py"))
+    dk = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(dk)
+    kw = dict(total_time=45.0, kick_time=0.0, motion="bigloop",
+              world="tube", max_z=6.0,
+              bias_walk_gyro=1e-3, bias_walk_accel=1e-2)
+    lc = dk.run(True, **kw)
+    base = dk.run(False, **kw)
+    # drift really accumulates without the map
+    assert base["tail_rmse"] > 0.015, base
+    assert base["n_lc"] == 0
+    # closures fire on revisit and remove it: measured tail 0.0133 vs
+    # 0.0272 (2.0x), final 0.023 vs 0.043
+    assert lc["n_lc"] > 500, lc
+    assert lc["tail_rmse"] < 0.7 * base["tail_rmse"], (lc, base)
+    assert lc["final"] < 0.7 * base["final"], (lc, base)
+    assert lc["rmse"] <= 1.1 * base["rmse"], (lc, base)

@@ -229,13 +229,17 @@ def oos_update(cfg: VIOConfig, s: VIOState, candidate_rows):
         # H^T inn together — no QR, no triangular solve (both
         # catastrophic XLA TPU lowerings, ARCHITECTURE.md). Rows shrink
         # from the stack size to D.
-        from ..ops.chol_pallas import cholesky_psd
+        # batch-in-LANES kernel (ops/lanes_chol.py) — the same kernel
+        # class the per-frame D x D recompression rides; the sublane
+        # kernel (ops/chol_pallas.py) pays grid x m sequential depth at
+        # m = D+1 = 229 (round-5 consistency-stage profile)
+        from ..ops.lanes_chol import chol_psd_lanes
         Mb = jnp.concatenate([Hm, innm[:, None]], axis=1)  # (rows, D+1)
         Gb = jnp.matmul(Mb.T, Mb, precision=HIGHEST)       # (D+1, D+1)
         rel = 1e-12 if dtype == jnp.float64 else 1e-6
         Gb = Gb + (rel * jnp.diagonal(Gb)) * jnp.eye(d.full + 1,
                                                      dtype=dtype)
-        Lb = cholesky_psd(Gb)
+        Lb = chol_psd_lanes(Gb)
         Hm = Lb[:d.full, :d.full].T                        # (D, D) upper
         innm = Lb[d.full, :d.full]                         # L^-1 H^T inn
         rv = jnp.linalg.norm(Hm, axis=1) > 1e-10

@@ -217,6 +217,28 @@ def get_imu_sim(motion_type: str = "lissajous", **kw) -> IMUSim:
                              0.06 * np.sin(w1 * t)])
         kw.setdefault("init_Vsb", np.array([2.0 * w1, 0.0, w1]))
         return IMUSim(accel_s, gyro, **kw)
+    if motion_type == "bigloop":
+        # room-scale revisit loop: radius-R circle (R=6 m) with gyro
+        # harmonics locked to the orbit frequency, same holonomy idea
+        # as "loop" but LARGE relative to a short vision range — with
+        # max_depth ~6 m the far side of the loop is invisible and the
+        # anchor topology breaks every lap: the free-running drift
+        # regime the natural-drift loop-closure study needs (a 2 m
+        # loop never drifts: some landmark chain always survives)
+        w1 = 0.45
+        R = kw.pop("radius", 6.0)
+
+        def accel_s(t):
+            return np.array([-R * w1 * w1 * np.sin(w1 * t),
+                             -R * w1 * w1 * np.cos(w1 * t),
+                             -0.5 * (2 * w1) ** 2 * np.sin(2 * w1 * t)])
+
+        def gyro(t):
+            return np.array([0.10 * np.sin(w1 * t),
+                             0.08 * np.sin(2 * w1 * t),
+                             0.06 * np.sin(w1 * t)])
+        kw.setdefault("init_Vsb", np.array([R * w1, 0.0, w1]))
+        return IMUSim(accel_s, gyro, **kw)
     if motion_type == "tumvi_room":
         # TUM-VI-room-shaped motion: STATIONARY for rest_time seconds
         # (gravity init from rest, src/estimator.cpp:439-473), then
