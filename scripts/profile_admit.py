@@ -55,9 +55,9 @@ def timeit(name, fn, *args, n=50):
 d = cfg.dims
 NG, NF, G, F = d.ng_rows, d.nf_rows, d.n_groups, d.n_features
 
-timeit("admit_groups (whole)", lambda s: pl._admit_groups(cfg, s), s)
+timeit("admit_groups (whole)", lambda s: pl._admit_groups(cfg, s)[0], s)
 timeit("admit_features_within (whole)",
-       lambda s: pl._admit_features_within_groups(cfg, s), s)
+       lambda s: pl._admit_features_within_groups(cfg, s)[0], s)
 timeit("process_tracks (whole)", lambda s: pl._process_tracks(cfg, s)[0], s)
 timeit("candidate_mask", lambda s: pl._candidate_mask(cfg, s), s)
 
@@ -76,7 +76,7 @@ def sub_commit(s):
     cand = pl._candidate_mask(cfg, s)
     slot_of_row, got = pl._rank_assign(s.f2row < 0, cand,
                                        pl._admission_score(fr))
-    return pl._commit_feature_admissions(cfg, s, slot_of_row, got)
+    return pl._commit_feature_admissions(cfg, s, slot_of_row, got)[0]
 
 
 timeit("rank_assign + commit", sub_commit, s)

@@ -79,7 +79,8 @@ if os.environ.get("FULLSTACK"):
                            sim_initialize_depths=True,
                            propagation_mode="fast",
                            covariance_form="sqrt", use_OOS=True,
-                           clone_frame_groups=True, use_fej=True,
+                           clone_frame_groups=True,
+                           use_fej=os.environ.get("NOFEJ") != "1",
                            approximate_init_covariance=True,
                            use_compression=os.environ.get(
                                "NOCOMPRESS") != "1")

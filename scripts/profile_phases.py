@@ -114,8 +114,8 @@ def phase_process_tracks(s):
 
 
 def phase_admit(s):
-    s = pl._admit_groups(cfg, s)
-    return pl._admit_features_within_groups(cfg, s)
+    s = pl._admit_groups(cfg, s)[0]
+    return pl._admit_features_within_groups(cfg, s)[0]
 
 
 def phase_jacobian(s):

@@ -127,11 +127,11 @@ def ph_subfilter(s):
 
 
 def ph_admit_groups(s):
-    return pl._admit_groups(cfg, s)
+    return pl._admit_groups(cfg, s)[0]
 
 
 def ph_admit_feats(s):
-    return pl._admit_features_within_groups(cfg, s)
+    return pl._admit_features_within_groups(cfg, s)[0]
 
 
 timeit("lifetime + remove + clear", ph_lifetime_and_remove)

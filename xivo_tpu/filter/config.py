@@ -150,7 +150,14 @@ class VIOConfig:
     # pose and feature blocks of the measurement Jacobian are evaluated
     # at the states' FIRST estimates (frozen at EKF admission) so the
     # unobservable directions gain no spurious information — the
-    # standard FEJ consistency fix for EKF-VIO
+    # standard FEJ consistency fix for EKF-VIO. Round-5 measurements:
+    # its value is WORLD-DEPENDENT on this gauge-fixed design — alone
+    # it costs ATE (PCW bench 0.0241 vs 0.0075 base) and the tube-world
+    # consistency study prefers the stack WITHOUT it (NEES 3.5 vs 4.8,
+    # ATE 0.088 vs 0.115: the gauge fix already pins the global
+    # directions), yet inside the FULL PCW stack it helps (0.0133 with
+    # vs 0.0177 without). Runtime cost is ~zero (+0.04 s/rep,
+    # profile_fej). The NEES pins hold either way.
     use_fej: bool = False
     # parallax-gated admission (improvement over the reference): only
     # admit features whose subfilter depth variance (log-depth) has

@@ -574,12 +574,27 @@ def _admit_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
             s.f2row < 0, want, _admission_score(cfg, fr))
         return _commit_feature_admissions(cfg, s, slot_of_row, got)
 
-    return jax.lax.cond(jnp.any(take), admit, lambda s: s, s)
+    F = d.n_features
+    return jax.lax.cond(
+        jnp.any(take), admit,
+        lambda s: (s, jnp.zeros((F,), bool),
+                   jnp.full((F,), -1, jnp.int32)), s)
 
 
 def _commit_feature_admissions(cfg: VIOConfig, s: VIOState, slot_of_row,
-                               got) -> VIOState:
-    """Apply a feature-slot assignment: table, f2row, covariance blocks."""
+                               got):
+    """Apply a feature-slot assignment: table, f2row, covariance blocks.
+
+    Returns (state, new_slot_mask, row_of_slot). The correlated-init
+    congruence (approximate_init_covariance) is NOT applied here: the
+    two admission passes of a frame (_admit_groups +
+    _admit_features_within_groups) each ran it, and under batch vmap
+    the admission cond is a select, so the F x G jacobian sweep — the
+    dominant consistency-config cost (ARCHITECTURE round-5) — executed
+    TWICE every frame. The pipeline now applies it ONCE on the union
+    of both cohorts (_apply_init_correlations); J's inputs (feature
+    subfilter states, group poses, adjacency) are untouched by the
+    admissions themselves, so the union application is exact."""
     d = cfg.dims
     fr = s.features
     NF = fr.fid.shape[0]
@@ -593,14 +608,21 @@ def _commit_feature_admissions(cfg: VIOConfig, s: VIOState, slot_of_row,
         x_fej=jnp.where(got[:, None], fr.x, fr.x_fej))
     P = _add_feature_blocks(cfg, s.P, fr, new_slot_mask, row_of_slot)
     s = s._replace(features=fr, f2row=f2row, P=P)
-    if cfg.approximate_init_covariance:
-        from .init_cov import add_init_correlations
-        s = jax.lax.cond(
-            jnp.any(new_slot_mask),
-            lambda s: add_init_correlations(cfg, s, new_slot_mask,
-                                            row_of_slot),
-            lambda s: s, s)
-    return s
+    return s, new_slot_mask, row_of_slot
+
+
+def _apply_init_correlations(cfg: VIOConfig, s: VIOState, new_slot_mask,
+                             row_of_slot) -> VIOState:
+    """One correlated-init congruence for all slots admitted this
+    frame (see _commit_feature_admissions)."""
+    if not cfg.approximate_init_covariance:
+        return s
+    from .init_cov import add_init_correlations
+    return jax.lax.cond(
+        jnp.any(new_slot_mask),
+        lambda s: add_init_correlations(cfg, s, new_slot_mask,
+                                        row_of_slot),
+        lambda s: s, s)
 
 
 def _admit_features_within_groups(cfg: VIOConfig, s: VIOState) -> VIOState:
@@ -1095,8 +1117,15 @@ def _update_step_impl(cfg: VIOConfig, s: VIOState
     if cfg.use_depth_opt:
         s = _refine_candidate_depths(cfg, s)
     if cfg.num_gauge_xy_features > 0:
-        s = _admit_groups(cfg, s)
-    s = _admit_features_within_groups(cfg, s)
+        s, nsm_g, ros_g = _admit_groups(cfg, s)
+    else:
+        F = cfg.dims.n_features
+        nsm_g = jnp.zeros((F,), bool)
+        ros_g = jnp.full((F,), -1, jnp.int32)
+    s, nsm_w, ros_w = _admit_features_within_groups(cfg, s)
+    # ONE correlated-init pass over the union of both admission cohorts
+    s = _apply_init_correlations(
+        cfg, s, nsm_g | nsm_w, jnp.where(nsm_g, ros_g, ros_w))
 
     # jacobians + MH gating
     sj = build_stacked_jacobian(cfg, s)
