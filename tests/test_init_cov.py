@@ -92,6 +92,34 @@ def test_psd_through_heavy_churn():
     assert np.isfinite(np.asarray(outs.Tsb)).all()
 
 
+def test_init_corr_chunked_equals_full():
+    """The while_loop cohort-chunked congruence (init_corr_chunk) is
+    exact: e2e trajectory and final covariance/factor match the
+    full-width single pass in both covariance forms, including a chunk
+    width (3) that forces multi-chunk frames at the startup burst."""
+    for form, chunks in (("full", (0, 8, 3)), ("sqrt", (0, 8))):
+        res = {}
+        for chunk in chunks:
+            extra = {"propagation_mode": "fast"} if form == "sqrt" else {}
+            cfg = config_from_json(PCW_CFG, dtype="float64",
+                                   sim_initialize_depths=True,
+                                   covariance_form=form,
+                                   approximate_init_covariance=True,
+                                   init_corr_chunk=chunk, **extra)
+            s, o, gt = run_scan(cfg, total_time=6.0, noise_px=0.25)
+            P = np.asarray(s.P)
+            if form == "sqrt":
+                P = P @ P.T
+            res[chunk] = (P, np.asarray(o.Tsb))
+        for chunk in chunks[1:]:
+            np.testing.assert_allclose(
+                res[chunk][1], res[0][1], atol=1e-7,
+                err_msg=f"{form} chunk={chunk} trajectory")
+            np.testing.assert_allclose(
+                res[chunk][0], res[0][0], atol=1e-7,
+                err_msg=f"{form} chunk={chunk} covariance")
+
+
 def test_jac_blocks_fg_matches_per_pair():
     """The vectorized (F,G) jacobian sweep (init_cov._jac_blocks_fg)
     equals the per-pair obs_jacobian reference on random geometry."""

@@ -146,6 +146,16 @@ class VIOConfig:
     # between a newly admitted feature and the extrinsics/group poses
     # its estimate was filtered through
     approximate_init_covariance: bool = False
+    # chunk width of the correlated-init jacobian sweep: the congruence
+    # only needs J rows for THIS frame's admission cohort (a handful in
+    # steady state), yet the straight implementation sweeps all
+    # n_features x n_groups observation jacobians every frame — measured
+    # as the bulk of the approximate_init_covariance device cost
+    # (ARCHITECTURE round-5). The cohort is compacted and processed in
+    # while_loop chunks of this width (exact: chunks write only feature
+    # rows of P/S, and the dense-form P_o re-read per chunk IS the
+    # cross-chunk pairwise term). 0 = full-width single pass.
+    init_corr_chunk: int = 8
     # first-estimates Jacobians (improvement over the reference): group
     # pose and feature blocks of the measurement Jacobian are evaluated
     # at the states' FIRST estimates (frozen at EKF admission) so the

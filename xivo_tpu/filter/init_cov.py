@@ -270,25 +270,13 @@ def _obs_blocks_batched(cfg: VIOConfig, s: VIOState, rows):
     return N, M
 
 
-def add_init_correlations(cfg: VIOConfig, s: VIOState, new_slot_mask,
-                          row_of_slot) -> VIOState:
-    """Augment P with the exact first-order correlations of new slots."""
-    d = cfg.dims
-    F = d.n_features
-    G = d.n_groups
+def _init_jacobians(cfg: VIOConfig, s: VIOState, rows, valid):
+    """J rows (len,3,K) for the given feature-table rows, zeroed where
+    invalid or the normal matrix N is near-singular."""
     dtype = s.P.dtype
-    fb = d.feature_begin
-    K = 6 + L.NCAM + 6 * G
-
-    oidx = jnp.asarray(np.concatenate([
-        np.arange(L.WBC, L.WBC + 6),
-        np.arange(L.CAM, L.CAM + L.NCAM),
-        np.arange(L.GROUP_BEGIN, L.GROUP_BEGIN + 6 * G)]))
-    P_o = s.P[oidx]            # (K, D) — rows of the o-block vs everything
-
-    N, M = _obs_blocks_batched(cfg, s, row_of_slot)        # (F,3,3),(F,3,K)
-    use = new_slot_mask & (row_of_slot >= 0)
-    tr = (N[:, 0, 0] + N[:, 1, 1] + N[:, 2, 2]) / 3.0      # (F,)
+    N, M = _obs_blocks_batched(cfg, s, rows)          # (.,3,3),(.,3,K)
+    use = valid
+    tr = (N[:, 0, 0] + N[:, 1, 1] + N[:, 2, 2]) / 3.0
     # a near-singular N means the observations barely determine x —
     # the batch-LS correlation model is meaningless there; skip.
     # (J = 0 keeps the congruence, so PSD is unaffected either way.)
@@ -319,8 +307,90 @@ def add_init_correlations(cfg: VIOConfig, s: VIOState, new_slot_mask,
         axis=-2)
     det = a * co[:, 0, 0] + b * co[:, 1, 0] + c * co[:, 2, 0]
     A = co / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)[:, None, None]
-    J = -jnp.einsum("fij,fjk->fik", A, M)                  # (F,3,K)
-    Jf = jnp.where(use[:, None, None], J, jnp.zeros_like(J))
+    J = -jnp.einsum("fij,fjk->fik", A, M)                  # (.,3,K)
+    return jnp.where(use[:, None, None], J, jnp.zeros_like(J))
+
+
+def _o_indices(G: int):
+    return jnp.asarray(np.concatenate([
+        np.arange(L.WBC, L.WBC + 6),
+        np.arange(L.CAM, L.CAM + L.NCAM),
+        np.arange(L.GROUP_BEGIN, L.GROUP_BEGIN + 6 * G)]))
+
+
+def add_init_correlations(cfg: VIOConfig, s: VIOState, new_slot_mask,
+                          row_of_slot) -> VIOState:
+    """Augment P with the exact first-order correlations of new slots.
+
+    When ``cfg.init_corr_chunk`` is set, the admission cohort is
+    compacted and processed in while_loop chunks of that width instead
+    of sweeping all F slots — in steady state one chunk covers the whole
+    cohort, cutting the dominant F x G obs-jacobian sweep to A x G.
+    Chunking is EXACT: chunks write only feature rows of the factor /
+    covariance, so the o-rows feeding J are untouched (sqrt form), and
+    in dense form the per-chunk P_o re-read contains precisely the
+    earlier chunks' cross columns, i.e. the pairwise J_i P_oo J_j^T
+    terms (pinned vs the single pass in tests/test_init_cov.py)."""
+    d = cfg.dims
+    F = d.n_features
+    G = d.n_groups
+    dtype = s.P.dtype
+    fb = d.feature_begin
+
+    use0 = new_slot_mask & (row_of_slot >= 0)
+    A = int(cfg.init_corr_chunk)
+    if A <= 0 or A >= F:
+        oidx = _o_indices(G)
+        P_o = s.P[oidx]        # (K, D) — rows of the o-block vs everything
+        Jf = _init_jacobians(cfg, s, row_of_slot, use0)    # (F,3,K)
+        return _apply_congruence_full(cfg, s, Jf, P_o, oidx, fb)
+
+    from ..ops.dense import oh_take
+    oidx = _o_indices(G)
+    order = jnp.cumsum(use0.astype(jnp.int32)) - 1         # (F,)
+    count = jnp.sum(use0.astype(jnp.int32))
+    ohc = (order[None, :] == jnp.arange(F)[:, None]) & use0[None, :]
+    comp_slots = jnp.argmax(ohc, axis=1).astype(jnp.int32)  # (F,)
+    n_chunks = (count + A - 1) // A
+    ar = jnp.arange(A)
+
+    def body(carry):
+        c, P = carry
+        pos = c * A + ar
+        slot_raw = oh_take(comp_slots, jnp.clip(pos, 0, F - 1), F)
+        slot = jnp.where(pos < count, slot_raw, -1)        # (A,)
+        slotc = jnp.clip(slot, 0, F - 1)
+        rows = oh_take(row_of_slot, slotc, F)              # (A,)
+        valid = (slot >= 0) & (rows >= 0)
+        Jf = _init_jacobians(cfg, s._replace(P=P), rows, valid)  # (A,3,K)
+        P_o = P[oidx]
+        C = jnp.einsum("aik,kd->aid", Jf, P_o)             # (A,3,D)
+        ohp = ((slotc[None, :] == jnp.arange(F)[:, None])
+               & valid[None, :]).astype(dtype)             # (F,A)
+        Cf = jnp.einsum("fa,aid->fid", ohp, C).reshape(3 * F, P.shape[1])
+        if cfg.covariance_form == "sqrt":
+            return c + 1, P.at[fb:, :].add(Cf)
+        P_oo = P_o[:, oidx]
+        Q = jnp.einsum("aik,kl->ail", Jf, P_oo)
+        Xa = jnp.einsum("ail,bjl->aibj", Q, Jf)            # (A,3,A,3)
+        Xf = jnp.einsum("fa,aibj->fibj", ohp, Xa)
+        Xf = jnp.einsum("gb,fibj->figj", ohp, Xf).reshape(3 * F, 3 * F)
+        P = P.at[fb:, :].add(Cf)
+        P = P.at[:, fb:].add(Cf.T)
+        P = P.at[fb:, fb:].add(Xf)
+        P = 0.5 * (P + P.T)
+        return c + 1, P
+
+    _, P = jax.lax.while_loop(
+        lambda carry: carry[0] < n_chunks, body,
+        (jnp.zeros((), jnp.int32), s.P))
+    return s._replace(P=P)
+
+
+def _apply_congruence_full(cfg: VIOConfig, s: VIOState, Jf, P_o, oidx,
+                           fb) -> VIOState:
+    d = cfg.dims
+    F = d.n_features
     if cfg.covariance_form == "sqrt":
         # on the factor the congruence [[I],[J.]] is a plain ROW
         # transform: new rows += J @ S[o-rows]. Cross terms to every
