@@ -199,27 +199,28 @@ class BenchNumericError(AssertionError):
 
 
 def stage_consistency(fib, fresh_states, gt, T, B):
-    """Recommended accuracy config — OOS harvest + pose cloning + FEJ +
-    correlated init covariance (the ~40x NEES reduction of
-    tests/test_consistency.py) — measured on device so its cost is a
-    bench fact, not a guess (round-2 verdict #4)."""
+    """Recommended accuracy config — OOS harvest + pose cloning +
+    pose-only FEJ — measured on device so its cost is a bench fact, not
+    a guess (round-2 verdict #4)."""
     from xivo_tpu.filter.config import config_from_json
     from xivo_tpu.runner import make_batch_runner
     from xivo_tpu.sim.configs import PCW_CFG
 
-    # recommended accuracy config: OOS harvest + pose cloning + FEJ +
-    # correlated init. FEJ's value is WORLD-DEPENDENT (round-5
-    # measurements): on this PCW world the full stack measures ATE
-    # 0.0133 with fej vs 0.0177 without, while the tube-world
-    # consistency study prefers no-fej (NEES 3.5 vs 4.8, ATE 0.088 vs
-    # 0.115) — both configs hold the NEES pins, so the bench keeps the
-    # PCW-better one.
+    # recommended accuracy config (round-5 study, diag_stack_ate +
+    # eval_consistency): OOS harvest + pose cloning + POSE-ONLY FEJ
+    # (fej_feature_block=False default — the feature state is
+    # ref-relative, so first-estimating it buys no observability
+    # protection). This stack dominates on BOTH study worlds: PCW ATE
+    # 0.0084 (base 0.0090), tube NEES 4.8/ATE 0.039 (vs 10.5/0.057
+    # full-FEJ). The correlated-init pass is intentionally absent: with
+    # pose-only FEJ it is harmful (PCW 0.0177, tube NEES 11.9), though
+    # it remains the right tool for the full-FEJ stack
+    # (tests/test_consistency.py keeps both pinned).
     ccfg = config_from_json(
         PCW_CFG, dtype="float32", sim_initialize_depths=True,
         propagation_mode=os.environ.get("BENCH_PROP", "fast"),
         covariance_form=os.environ.get("BENCH_COV", "sqrt"),
-        use_OOS=True, clone_frame_groups=True, use_fej=True,
-        approximate_init_covariance=True)
+        use_OOS=True, clone_frame_groups=True, use_fej=True)
     crun = make_batch_runner(ccfg)
     s, outs = crun(fresh_states(), fib)
     jax.block_until_ready(outs.Tsb)

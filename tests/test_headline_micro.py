@@ -67,6 +67,16 @@ def test_micro_consistency_stack_reduces_nees():
     # but the stack must still cut NEES >3x without losing accuracy
     assert nees1 < 0.3 * nees0, (nees1, nees0)
     assert ate1 <= 1.2 * ate0, (ate1, ate0)
+    # the RECOMMENDED accuracy config (bench consistency stage: OOS +
+    # cloning + pose-only FEJ, no correlated init) must sit near the
+    # ideal 3-dof NEES band AND beat the full-FEJ stack's accuracy
+    # (round-5 measurements: NEES 4.8, ATE 0.039 at 6 s)
+    ate2, tbce2, nees2 = run_case(6.0, use_fej=True, use_oc=True,
+                                  true_Tbc=true_Tbc, true_Wbc=true_Wbc,
+                                  use_OOS=True)
+    assert nees2 < 10.0, nees2
+    assert ate2 <= ate1, (ate2, ate1)
+    assert tbce2 < 0.05, tbce2
 
 
 def test_micro_room1_shaped_cli(tmp_path_factory, tmp_path):

@@ -83,6 +83,50 @@ def test_oos_cap_overflow_is_reported():
     assert int(np.asarray(outs.num_oos_dropped).max()) > 0
 
 
+def test_oos_rows_vectorized_matches_per_feature():
+    """The fused (CAP, G) OOS row builder (_oos_rows_all) equals the
+    per-feature G-unrolled builder on a real mid-run state, including
+    FEJ linearization and invalid (-1) rows."""
+    import jax
+    from xivo_tpu.filter.oos import _oos_rows_all, _oos_rows_for_feature
+
+    for fej in (False, True):
+        cfg = config_from_json(PCW_CFG, dtype="float64",
+                               sim_initialize_depths=True, use_OOS=True,
+                               clone_frame_groups=True, use_fej=fej)
+        s, outs, gt = run_scan(cfg, total_time=4.0, noise_px=0.25)
+        adj = np.asarray(s.features.adj)
+        cand = np.where(adj.sum(axis=1) >= 2)[0][:6]
+        rows = np.full(8, -1, np.int32)
+        rows[:len(cand)] = cand
+        rows = jnp.asarray(rows)
+        Ho_v, inn_v, val_v = _oos_rows_all(cfg, s, rows)
+        Ho_r, inn_r, val_r = jax.vmap(
+            lambda r: _oos_rows_for_feature(cfg, s, r))(rows)
+        np.testing.assert_array_equal(np.asarray(val_v), np.asarray(val_r))
+        np.testing.assert_allclose(np.asarray(Ho_v), np.asarray(Ho_r),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(inn_v), np.asarray(inn_r),
+                                   atol=1e-10)
+
+
+def test_oos_compression_is_equivalent():
+    """Measurement compression is exactly equivalent for iid R (the
+    update depends on H only through H^T H / H^T inn). The default
+    compression_trigger_ratio (1.5, reference src/estimator.cpp:116-117)
+    leaves the ~1.05x-D OOS stack uncompressed, so this pin FORCES the
+    trigger (ratio 0.5) and checks the trajectory matches."""
+    res = {}
+    for ratio in (0.5, 10.0):
+        cfg = config_from_json(PCW_CFG, dtype="float64",
+                               sim_initialize_depths=True, use_OOS=True,
+                               clone_frame_groups=True,
+                               compression_trigger_ratio=ratio)
+        s, outs, gt = run_scan(cfg, total_time=4.0, noise_px=0.25)
+        res[ratio] = np.asarray(outs.Tsb)
+    np.testing.assert_allclose(res[0.5], res[10.0], atol=1e-6)
+
+
 def test_householder_nullspace_matches_qr():
     """The 3-reflector sweep must (a) annihilate Hf, (b) carry the same
     information as the complete-QR projection: row spans of the

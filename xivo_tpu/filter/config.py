@@ -169,6 +169,25 @@ class VIOConfig:
     # vs 0.0177 without). Runtime cost is ~zero (+0.04 s/rep,
     # profile_fej). The NEES pins hold either way.
     use_fej: bool = False
+    # with use_fej: also linearize the OOS (MSCKF) rows at the groups'
+    # first pose estimates — the standard MSCKF-FEJ discipline for
+    # designs whose global directions are otherwise unpinned. Here the
+    # gauge fixing already pins them, and the tube-world study measures
+    # OOS-FEJ as neutral-to-slightly-worse (NEES 4.8 vs 4.4 off, ATE
+    # equal) while the doubled jacobian chain costs ~2 s/rep on device
+    # — so it defaults off (same verdict as use_oc_meas, round-4)
+    oos_fej: bool = False
+    # with use_fej: evaluate the feature block at its first estimate
+    # too. The feature state is parameterized RELATIVE to its ref group
+    # (bearing + log-depth in the ref camera frame), so it is invariant
+    # to the global unobservable directions — the structural HTr/HTg
+    # cancellation in the chain holds at ANY x — and first-estimating
+    # it buys no observability protection, only linearization error.
+    # Measured (round-5): pose-only FEJ (False) + OOS dominates every
+    # other stack on BOTH study worlds — tube NEES 4.8 / ATE 0.039 (vs
+    # 10.5 / 0.057 full-FEJ) and PCW bench ATE 0.0084 (vs 0.0128 for
+    # the full-FEJ + init-cov stack; base is 0.0090)
+    fej_feature_block: bool = False
     # parallax-gated admission (improvement over the reference): only
     # admit features whose subfilter depth variance (log-depth) has
     # dropped below this bound — i.e. whose depth has become observable.
@@ -225,7 +244,12 @@ class VIOConfig:
     # than error-state columns (the reference's present-but-unused
     # use_compression, src/helpers.cpp:77-101)
     use_compression: bool = True
-    compression_trigger_ratio: float = 1.0
+    # reference default 1.5 (src/estimator.cpp:116-117): compression
+    # costs a (rows, D+1) Gram + Cholesky, so it only pays when the
+    # stack is genuinely taller than the state — the CAP*2G = 240-row
+    # OOS stack (~1.05x D) measured FASTER uncompressed on v5e
+    # (7251 vs 7093 f/s, round-5)
+    compression_trigger_ratio: float = 1.5
 
     # mapper / loop closure (USE_MAPPER + mapper_cfg in the reference)
     use_mapper: bool = False

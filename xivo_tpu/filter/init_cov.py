@@ -204,6 +204,11 @@ def _obs_blocks_batched(cfg: VIOConfig, s: VIOState, rows):
     ref_slot = oh_take(gr.sind, gref, NG)                  # (F,)
     ref_ok = (gref_raw >= 0) & (ref_slot >= 0)
     sref = jnp.clip(ref_slot, 0, G - 1)
+    # J is built at CURRENT group poses deliberately: it models the
+    # statistical correlation of the batch estimate (which was filtered
+    # through the current estimates), not the update's linearization.
+    # An FEJ-snapshot variant was measured and does NOT change the
+    # fej x init-cov ATE interaction (round-5 diag: 0.0178 vs 0.0177)
     Rsbr = oh_take(gr.Rsb, gref, NG)                       # (F,3,3)
     Tsbr = oh_take(gr.Tsb, gref, NG)
     adjrow = oh_take(fr.adj, rowc, NFR)                    # (F,NG)

@@ -91,6 +91,17 @@ def _oos_rows_for_feature(cfg: VIOConfig, s: VIOState, row):
     Xc, _ = unproject_logz(x)
     Rsc_ref = gr.Rsb[gref] @ s.X.Rbc
     Xs = Rsc_ref @ Xc + gr.Rsb[gref] @ s.X.Tbc + gr.Tsb[gref]
+    fej = cfg.use_fej and cfg.oos_fej
+    if fej:
+        # FEJ-consistent linearization point of the landmark: anchored
+        # through the ref group's FIRST pose estimate, matching the
+        # instate update's treatment of the cloned-pose blocks — the
+        # standard MSCKF-FEJ discipline (the residual below keeps the
+        # current estimates)
+        Xs_l = (gr.Rsb_fej[gref] @ s.X.Rbc @ Xc
+                + gr.Rsb_fej[gref] @ s.X.Tbc + gr.Tsb_fej[gref])
+    else:
+        Xs_l = Xs
 
     Rbc_t = s.X.Rbc.T
 
@@ -109,13 +120,28 @@ def _oos_rows_for_feature(cfg: VIOConfig, s: VIOState, row):
         Xcn_s = jnp.where(good, Xcn, jnp.array([0.0, 0.0, 1.0], dtype))
         xcn, dxcn_dXcn = project_persp(Xcn_s)
         xp_pred, dxp_dxcn, _ = cam_mod.project_with_jac(kind, s.cam, xcn)
-        dxp_dXcn = dxp_dxcn @ dxcn_dXcn
+
+        if fej:
+            # jacobian chain at the group's first pose estimate
+            Rg_l, Tg_l = gr.Rsb_fej[growc], gr.Tsb_fej[growc]
+            Xb_l = Rg_l.T @ (Xs_l - Tg_l)
+            Xcn_l = Rbc_t @ (Xb_l - s.X.Tbc)
+            good = good & (Xcn_l[2] > 1e-6)
+            Xcn_l = jnp.where(good, Xcn_l,
+                              jnp.array([0.0, 0.0, 1.0], dtype))
+            xcn_l, dxcn_dXcn_l = project_persp(Xcn_l)
+            _, dxp_dxcn_l, _ = cam_mod.project_with_jac(
+                kind, s.cam, xcn_l)
+            dxp_dXcn = dxp_dxcn_l @ dxcn_dXcn_l
+        else:
+            Rg_l, Tg_l, Xb_l, Xcn_l = Rg, Tg, Xb, Xcn_s
+            dxp_dXcn = dxp_dxcn @ dxcn_dXcn
 
         dXcn_dXb = Rbc_t
-        Hf = dxp_dXcn @ dXcn_dXb @ Rg.T                       # w.r.t. Xs
-        HW = dxp_dXcn @ dXcn_dXb @ so3.hat(Xb)                # group W
-        HT = dxp_dXcn @ dXcn_dXb @ (-Rg.T)                    # group T
-        HWbc = dxp_dXcn @ so3.hat(Xcn_s)
+        Hf = dxp_dXcn @ dXcn_dXb @ Rg_l.T                     # w.r.t. Xs
+        HW = dxp_dXcn @ dXcn_dXb @ so3.hat(Xb_l)              # group W
+        HT = dxp_dXcn @ dXcn_dXb @ (-Rg_l.T)                  # group T
+        HWbc = dxp_dXcn @ so3.hat(Xcn_l)
         HTbc = dxp_dXcn @ (-Rbc_t)
 
         Hx = jnp.zeros((2, D), dtype)
@@ -155,6 +181,134 @@ def _oos_rows_for_feature(cfg: VIOConfig, s: VIOState, row):
             jnp.concatenate([valid, jnp.zeros((3,), bool)]))
 
 
+def _oos_rows_all(cfg: VIOConfig, s: VIOState, rows):
+    """Vectorized OOS row builder for ALL CAP candidate rows at once.
+
+    Same math as ``_oos_rows_for_feature`` (pinned equal in
+    tests/test_oos.py) expressed as fused (CAP, G) einsums instead of a
+    per-feature vmap over a G-unrolled per-slot loop — the loop emitted
+    ~10 tiny matmuls per (feature, slot) pair, the dominant OOS stack-
+    build cost on device (round-5). Returns (Ho (CAP, 2G, D),
+    inn (CAP, 2G), valid (CAP, 2G)).
+    """
+    from ..ops.dense import oh_take
+    d = cfg.dims
+    G = d.n_groups
+    D = d.full
+    dtype = s.P.dtype
+    kind = cam_mod.MODEL_IDS[cfg.cam_model]
+    fr, gr = s.features, s.groups
+    NF = fr.fid.shape[0]
+    NG = gr.gid.shape[0]
+    CAP = rows.shape[0]
+
+    rowc = jnp.maximum(rows, 0)
+    x = oh_take(fr.x, rowc, NF)                            # (CAP,3)
+    gref = jnp.clip(oh_take(fr.ref, rowc, NF), 0, NG - 1)
+    Rr = oh_take(gr.Rsb, gref, NG)                         # (CAP,3,3)
+    Tr = oh_take(gr.Tsb, gref, NG)
+    Rbc, Tbc = s.X.Rbc, s.X.Tbc
+    Rbc_t = Rbc.T
+    Xc = jax.vmap(lambda v: unproject_logz(v)[0])(x)       # (CAP,3)
+    Xs = jnp.einsum("fij,fj->fi", Rr, Xc @ Rbc.T + Tbc) + Tr
+    fej = cfg.use_fej and cfg.oos_fej
+    if fej:
+        Rr_l = oh_take(gr.Rsb_fej, gref, NG)
+        Tr_l = oh_take(gr.Tsb_fej, gref, NG)
+        Xs_l = jnp.einsum("fij,fj->fi", Rr_l, Xc @ Rbc.T + Tbc) + Tr_l
+    else:
+        Xs_l = Xs
+
+    grow = s.g2row                                         # (G,)
+    ok_g = grow >= 0
+    growc = jnp.maximum(grow, 0)
+    Rg = oh_take(gr.Rsb, growc, NG)                        # (G,3,3)
+    Tg = oh_take(gr.Tsb, growc, NG)
+    # seen/xp via one-hot down both table axes (no traced gathers)
+    adjrow = oh_take(fr.adj, rowc, NF)                     # (CAP,NG)
+    xprow = oh_take(fr.adj_xp, rowc, NF)                   # (CAP,NG,2)
+    ohg = (growc[:, None] == jnp.arange(NG)[None, :]
+           ).astype(dtype)                                 # (G,NG)
+    seen = (jnp.einsum("fn,gn->fg", adjrow.astype(dtype), ohg)
+            > 0.5) & ok_g[None, :]                         # (CAP,G)
+    xp_obs = jnp.einsum("fnk,gn->fgk", xprow, ohg)         # (CAP,G,2)
+
+    # current-estimate geometry -> prediction + residual
+    Xb = jnp.einsum("gji,fgj->fgi", Rg,
+                    Xs[:, None, :] - Tg[None, :, :])       # (CAP,G,3)
+    Xcn = jnp.einsum("ji,fgj->fgi", Rbc, Xb - Tbc[None, None, :])
+    good = seen & (Xcn[..., 2] > 1e-6)
+    Xcn_s = jnp.where(good[..., None], Xcn,
+                      jnp.asarray([0.0, 0.0, 1.0], dtype))
+    flat = Xcn_s.reshape(CAP * G, 3)
+    xcn, dxcn_dXcn = jax.vmap(project_persp)(flat)
+    xp_pred, dxp_dxcn, _ = jax.vmap(
+        lambda v: cam_mod.project_with_jac(kind, s.cam, v))(xcn)
+    inn = xp_obs - xp_pred.reshape(CAP, G, 2)
+
+    if fej:
+        # jacobian chain at the groups' first pose estimates
+        Rg_l = oh_take(gr.Rsb_fej, growc, NG)
+        Tg_l = oh_take(gr.Tsb_fej, growc, NG)
+        Xb_l = jnp.einsum("gji,fgj->fgi", Rg_l,
+                          Xs_l[:, None, :] - Tg_l[None, :, :])
+        Xcn_l = jnp.einsum("ji,fgj->fgi", Rbc,
+                           Xb_l - Tbc[None, None, :])
+        good = good & (Xcn_l[..., 2] > 1e-6)
+        Xcn_l = jnp.where(good[..., None], Xcn_l,
+                          jnp.asarray([0.0, 0.0, 1.0], dtype))
+        flat_l = Xcn_l.reshape(CAP * G, 3)
+        xcn_l, dxcn_l = jax.vmap(project_persp)(flat_l)
+        _, dxp_l, _ = jax.vmap(
+            lambda v: cam_mod.project_with_jac(kind, s.cam, v))(xcn_l)
+        P2 = jnp.einsum("nij,njk->nik", dxp_l,
+                        dxcn_l).reshape(CAP, G, 2, 3)
+    else:
+        Rg_l, Xb_l, Xcn_l = Rg, Xb, Xcn_s
+        P2 = jnp.einsum("nij,njk->nik", dxp_dxcn,
+                        dxcn_dXcn).reshape(CAP, G, 2, 3)
+
+    Bc = jnp.einsum("ij,gkj->gik", Rbc_t, Rg_l)            # Rbc^T Rg^T
+    Hf = jnp.einsum("fgij,gjk->fgik", P2, Bc)              # (CAP,G,2,3)
+    hatXb = jax.vmap(jax.vmap(so3.hat))(Xb_l)
+    HW = jnp.einsum("fgij,jk,fgkl->fgil", P2, Rbc_t, hatXb)
+    HT = -Hf
+    HWbc = jnp.einsum("fgij,fgjk->fgik", P2,
+                      jax.vmap(jax.vmap(so3.hat))(Xcn_l))
+    HTbc = jnp.einsum("fgij,jk->fgik", P2, -Rbc_t)
+
+    w = good.astype(dtype)[..., None, None]
+    Hf = Hf * w
+    inn = inn * good.astype(dtype)[..., None]
+    # dense (CAP, G, 2, D) rows from static column segments: the group
+    # pair lands at slot-column block g (eye placement), Wbc/Tbc at
+    # their static offsets, everything else zero
+    Hgrp = jnp.einsum("gh,fgrk->fgrhk", jnp.eye(G, dtype=dtype),
+                      jnp.concatenate([HW, HT], axis=-1) * w
+                      ).reshape(CAP, G, 2, 6 * G)
+    z = lambda n: jnp.zeros((CAP, G, 2, n), dtype)
+    Hx = jnp.concatenate([
+        z(L.WBC), HWbc * w, HTbc * w,
+        z(L.GROUP_BEGIN - (L.WBC + 6)), Hgrp,
+        z(D - L.GROUP_BEGIN - 6 * G)], axis=-1)            # (CAP,G,2,D)
+
+    Hx = Hx.reshape(CAP, 2 * G, D)
+    Hf = Hf.reshape(CAP, 2 * G, 3)
+    inn = inn.reshape(CAP, 2 * G)
+    nobs = jnp.sum(good.astype(jnp.int32), axis=1)         # (CAP,)
+
+    Ho, inn_o = jax.vmap(_householder_nullspace)(Hf, Hx, inn)
+    enough = nobs >= cfg.OOS_min_observations
+    rownorm = jnp.linalg.norm(Ho, axis=-1)
+    valid = (rownorm > 1e-10) & enough[:, None]
+    Ho = jnp.where(valid[..., None], Ho, 0.0)
+    inn_o = jnp.where(valid, inn_o, 0.0)
+    pad = jnp.zeros((CAP, 3, D), dtype)
+    return (jnp.concatenate([Ho, pad], axis=1),
+            jnp.concatenate([inn_o, jnp.zeros((CAP, 3), dtype)], axis=1),
+            jnp.concatenate([valid, jnp.zeros((CAP, 3), bool)], axis=1))
+
+
 def oos_update(cfg: VIOConfig, s: VIOState, candidate_rows):
     """Joint MSCKF update over the frame's dying features.
 
@@ -189,12 +343,12 @@ def oos_update(cfg: VIOConfig, s: VIOState, candidate_rows):
                    dtype=jnp.int32)
     row_of_slot = jnp.where(hit, ridx, -1)
 
-    def one(slotrow):
-        ok = slotrow >= 0
-        Ho, inn_o, valid = _oos_rows_for_feature(cfg, s, slotrow)
-        return Ho * ok, inn_o * ok, valid & ok
-
-    Ho, inn_o, valid = jax.vmap(one)(row_of_slot)
+    ok = (row_of_slot >= 0)
+    Ho, inn_o, valid = _oos_rows_all(cfg, s, row_of_slot)
+    okf = ok.astype(s.P.dtype)[:, None]
+    Ho = Ho * okf[..., None]
+    inn_o = inn_o * okf
+    valid = valid & ok[:, None]
     R2G = Ho.shape[1]
     Ho = Ho.reshape(CAP * R2G, d.full)
     inn_o = inn_o.reshape(-1)

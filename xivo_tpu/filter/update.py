@@ -133,7 +133,13 @@ def build_stacked_jacobian(cfg: VIOConfig, s: VIOState) -> StackedJac:
             # pose, feature) are linearized at the states' first
             # estimates so unobservable directions gain no spurious
             # information; the residual keeps the current estimates
-            jf = compute_jacobian(kind, s.cam, s.X, Rf, Tf, xfe, xp,
+            # fej_feature_block=False evaluates the FEJ chain at the
+            # CURRENT feature estimate (poses still first-estimate):
+            # x is parameterized relative to the ref group, so the
+            # global-direction cancellations hold at any x and the
+            # stale-x linearization error is pure accuracy loss
+            xl = xfe if cfg.fej_feature_block else x
+            jf = compute_jacobian(kind, s.cam, s.X, Rf, Tf, xl, xp,
                                   s.last_gyro, cfg.online_camera_calib)
             J_group, J_feat = jf.J_group, jf.J_feat
         okf = ok.astype(dtype)
