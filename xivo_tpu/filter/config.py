@@ -156,18 +156,18 @@ class VIOConfig:
     # rows of P/S, and the dense-form P_o re-read per chunk IS the
     # cross-chunk pairwise term). 0 = full-width single pass.
     init_corr_chunk: int = 8
-    # first-estimates Jacobians (improvement over the reference): group
-    # pose and feature blocks of the measurement Jacobian are evaluated
-    # at the states' FIRST estimates (frozen at EKF admission) so the
+    # first-estimates Jacobians (improvement over the reference):
+    # cloned-pose blocks of the measurement Jacobian are evaluated at
+    # the states' FIRST estimates (frozen at creation) so the
     # unobservable directions gain no spurious information — the
-    # standard FEJ consistency fix for EKF-VIO. Round-5 measurements:
-    # its value is WORLD-DEPENDENT on this gauge-fixed design — alone
-    # it costs ATE (PCW bench 0.0241 vs 0.0075 base) and the tube-world
-    # consistency study prefers the stack WITHOUT it (NEES 3.5 vs 4.8,
-    # ATE 0.088 vs 0.115: the gauge fix already pins the global
-    # directions), yet inside the FULL PCW stack it helps (0.0133 with
-    # vs 0.0177 without). Runtime cost is ~zero (+0.04 s/rep,
-    # profile_fej). The NEES pins hold either way.
+    # standard FEJ consistency fix for EKF-VIO. With the default
+    # fej_feature_block=False this is POSE-ONLY FEJ, which the round-5
+    # study measured as the dominant stack on both evaluation worlds
+    # (with use_OOS: PCW bench ATE 0.0084 vs 0.0090 base; tube NEES
+    # 4.8 / ATE 0.039 vs 10.5 / 0.057 for full FEJ + correlated init).
+    # Runtime cost is ~zero (+0.04 s/rep, profile_fej). Defaults off
+    # for reference parity; the recommended accuracy config turns it
+    # on together with use_OOS + clone_frame_groups (see bench.py).
     use_fej: bool = False
     # with use_fej: also linearize the OOS (MSCKF) rows at the groups'
     # first pose estimates — the standard MSCKF-FEJ discipline for
