@@ -73,10 +73,17 @@ def _write_asl_dataset(tmp, seq="room1", total_time=2.5, rest_time=0.6,
     imu = get_imu_sim("tumvi_room", T=total_time + 1.0,
                       rest_time=rest_time, noise_accel=2e-3,
                       noise_gyro=2e-4, seed=seed)
+    # corner-rich marker geometry (6x6 grid of ~6 px squares): the
+    # TexturedBoxWorld DEFAULTS moved to 3x3/~20 px for loop-closure
+    # descriptor stability (round-4), which silently impoverished this
+    # drill's texture and collapsed td observability over the short
+    # horizon — the drill wants maximal trackable corners, not
+    # revisit-stable descriptors
     world = TexturedBoxWorld(kind, np.asarray(intrin), 512, 512,
                              half_extents=(4.0, 4.0, 2.5),
                              texture_scale=4.0, octaves=5, seed=seed,
-                             markers=markers)
+                             markers=markers, marker_cell=1.2,
+                             marker_frac=0.5, marker_grid=6)
     Wbc = np.asarray(cfg["X"]["Wbc"], dtype=float)
     # TUMVI_CFG stores Wbc in rotation-MATRIX form (like the reference
     # config); accept either form here
