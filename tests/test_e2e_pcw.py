@@ -201,3 +201,23 @@ def test_clone_frame_groups_ate_parity():
     # was 6.7x)
     assert ates["base"] < 0.05, ates
     assert ates["clone"] < max(1.5 * ates["base"], 0.02), ates
+
+
+def test_recommended_config_tracks_base_ate():
+    """The recommended accuracy config (bench consistency stage: OOS +
+    cloning + pose-only FEJ, round-5 study) must stay at-or-near base
+    accuracy on the bench world — measured 0.0084 vs base 0.0090 on
+    CPU f32 (diag_stack_ate); this pins no-catastrophic-regression so
+    the headline claim is checked on every default pytest run."""
+    kw = dict(dtype="float32", sim_initialize_depths=True,
+              propagation_mode="fast", covariance_form="sqrt")
+    ates = {}
+    for name, over in (("base", {}),
+                       ("recommended", {"use_OOS": True,
+                                        "clone_frame_groups": True,
+                                        "use_fej": True})):
+        cfg = config_from_json(PCW_CFG, **kw, **over)
+        s, outs, gt = run_scan(cfg, total_time=5.0, noise_px=0.25)
+        err = np.linalg.norm(np.asarray(outs.Tsb) - gt["Tsb"], axis=1)
+        ates[name] = float(np.sqrt(np.mean(err ** 2)))
+    assert ates["recommended"] < max(1.25 * ates["base"], 0.015), ates
